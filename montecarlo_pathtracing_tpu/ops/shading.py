@@ -1,0 +1,125 @@
+"""Shading-normal reconstruction (intersection_info).
+
+Reimplements the per-shape *_inter_geom_info dispatch
+(shaders/raytracer_func.frag:783-897) as one masked dense computation: every
+shape's normal formula is evaluated from the Hit record and selected by the
+type code. The reference's construction is kept literally:
+
+    N = normalize( (transfo * (pl + No_local)).xyz - Pg )
+
+i.e. the local offset No is pushed through the prim's affine transform by
+point-differencing (NOT the inverse-transpose normal matrix) — for
+non-uniform scales this is the reference's behavior, so it is the spec.
+
+Quirks preserved:
+  - cone face code 1 (top "cap") yields N = vec3(0) (raytracer_func.frag:852)
+  - mesh smooth normals are area-weighted barycentric blends of vertex
+    normals; flat normals use cross(B-A, C-A) (:795-809); selected by the
+    static flat_face flag (the reference's uniform is never set by the app,
+    so GLSL default false = smooth is our default too)
+  - on a miss (shape < 0) the previous N, P are kept — the GLSL leaves its
+    `out` variables unwritten, which matters for the refraction inner
+    re-trace (tp/montecarlo.frag:150-152)
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .intersect import (
+    Hit, CODE_MESH, CODE_SPHERE, CODE_CUBE, CODE_CYLINDER, CODE_CONE,
+    CODE_ORIENTED_QUAD,
+)
+from ..utils.transforms import normalize, transform_point
+
+
+def _axis_offset(dircode, sign_from_parity=True):
+    """No for cube faces: unit vector along axis dir/2, sign from dir%2
+    (raytracer_func.frag:820-827)."""
+    ax = dircode // 2
+    sg = jnp.where(dircode % 2 != 0, 1.0, -1.0)
+    no = jnp.zeros(dircode.shape + (3,), jnp.float32)
+    for c in range(3):
+        no = no.at[..., c].set(jnp.where(ax == c, sg, 0.0))
+    return no
+
+
+def intersection_info(scene, hit: Hit, prev_n=None, prev_p=None):
+    """Returns (N [*,3], P [*,3]) world shading normal and hit point.
+
+    prev_n/prev_p: values to keep where hit.shape < 0 (stale-output GLSL
+    semantics); default zero-vectors.
+    """
+    prim = jnp.clip(hit.prim, 0, scene.nb_prims - 1)
+    trf = jnp.take(scene.transfo, prim, axis=0)          # [*,4,4]
+    pl = hit.pl
+    pg = hit.pg
+
+    # --- analytic local offsets -----------------------------------------
+    no_cube = _axis_offset(hit.dircode)
+    # cylinder: caps -> +-z by dir%2; side -> (pl.xy, 0)
+    cap = hit.dircode < 2
+    no_cyl = jnp.where(
+        cap[..., None],
+        jnp.stack([jnp.zeros_like(pl[..., 0]), jnp.zeros_like(pl[..., 0]),
+                   jnp.where(hit.dircode % 2 != 0, 1.0, -1.0)], -1),
+        jnp.stack([pl[..., 0], pl[..., 1], jnp.zeros_like(pl[..., 0])], -1),
+    )
+    # cone: dir 0 bottom cap -> pl + (0,0,-1); dir 2 side -> (pl.xy, len/2)
+    rxy = jnp.sqrt(pl[..., 0] ** 2 + pl[..., 1] ** 2)
+    no_cone = jnp.where(
+        (hit.dircode == 0)[..., None],
+        jnp.stack([jnp.zeros_like(rxy), jnp.zeros_like(rxy),
+                   jnp.full_like(rxy, -1.0)], -1),
+        jnp.stack([pl[..., 0], pl[..., 1], rxy / 2.0], -1),
+    )
+    no_quad = jnp.stack([jnp.zeros_like(pl[..., 0]),
+                         jnp.zeros_like(pl[..., 0]),
+                         jnp.ones_like(pl[..., 0])], -1)
+
+    shape = hit.shape
+    # sphere uses trf*(2*pl) - Pg; the others use trf*(pl + No) - Pg
+    point = jnp.where(
+        (shape == CODE_SPHERE)[..., None], 2.0 * pl,
+        pl + jnp.where(
+            (shape == CODE_CUBE)[..., None], no_cube,
+            jnp.where(
+                (shape == CODE_CYLINDER)[..., None], no_cyl,
+                jnp.where((shape == CODE_CONE)[..., None], no_cone, no_quad),
+            ),
+        ),
+    )
+    n_analytic = normalize(transform_point(trf, point) - pg)
+    # cone top-"cap" quirk: N = 0 (raytracer_func.frag:850-853)
+    cone_zero = (shape == CODE_CONE) & (hit.dircode == 1)
+    n_analytic = jnp.where(cone_zero[..., None], 0.0, n_analytic)
+
+    # --- mesh normals ----------------------------------------------------
+    if scene.tri_va.shape[0] > 0:
+        tri = jnp.clip(hit.tri, 0, scene.tri_va.shape[0] - 1)
+        A = jnp.take(scene.tri_va, tri, axis=0)
+        B = jnp.take(scene.tri_vb, tri, axis=0)
+        C = jnp.take(scene.tri_vc, tri, axis=0)
+        mtrf = jnp.take(scene.mesh_transfo, prim, axis=0)
+        if scene.flat_face:
+            no_mesh = jnp.cross(B - A, C - A)
+        else:
+            PA, PB, PC = A - pl, B - pl, C - pl
+            tA = jnp.linalg.norm(jnp.cross(PB, PC), axis=-1, keepdims=True)
+            tB = jnp.linalg.norm(jnp.cross(PA, PC), axis=-1, keepdims=True)
+            tC = jnp.linalg.norm(jnp.cross(PA, PB), axis=-1, keepdims=True)
+            nA = jnp.take(scene.tri_na, tri, axis=0)
+            nB = jnp.take(scene.tri_nb, tri, axis=0)
+            nC = jnp.take(scene.tri_nc, tri, axis=0)
+            no_mesh = nA * tA + nB * tB + nC * tC
+        n_mesh = normalize(transform_point(mtrf, pl + no_mesh) - pg)
+        n = jnp.where((shape == CODE_MESH)[..., None], n_mesh, n_analytic)
+    else:
+        n = n_analytic
+
+    # --- stale-on-miss ---------------------------------------------------
+    is_hit = (shape >= 0)[..., None]
+    if prev_n is None:
+        prev_n = jnp.zeros_like(n)
+    if prev_p is None:
+        prev_p = jnp.zeros_like(pg)
+    return jnp.where(is_hit, n, prev_n), jnp.where(is_hit, pg, prev_p)

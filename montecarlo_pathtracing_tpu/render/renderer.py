@@ -1,0 +1,178 @@
+"""Progressive renderer: accumulation as a running sum in HBM.
+
+The TPU replacement for the reference's FBO additive-blend protocol
+(MontecarloGPU/montecarlo.cpp:420-476): each pass renders 1 spp per pixel
+with a pass-indexed RNG seed and adds into an f32 accumulator
+(GL_ONE/GL_ONE blending analog); the resolve divides by the pass count
+(inline fs_frag, montecarlo.cpp:59-70 / shaders/average.frag). The
+accumulator buffer is donated back to the jitted pass so XLA updates it
+in place in HBM.
+
+Unlike the reference — whose accumulation state lives only in the FBO and
+dies on any interaction (montecarlo.cpp:238-246) — the accumulator, pass
+count and RNG pass index serialize to an .npz so long renders checkpoint
+and resume (SURVEY.md §5).
+
+Large images are processed in ray tiles via `lax.map` so HBM stays bounded
+while the megakernel is compiled once.
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, asdict, replace
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.registry import get_integrator
+from ..scene.device import DeviceScene, compile_scene
+from ..utils.image import write_png
+from .camera import default_rt_camera, camera_rays
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """The reference's knobs (ImGui sliders + defaults,
+    montecarlo.cpp:128-130,584-606,801) as a config dataclass."""
+    width: int = 1280
+    height: int = 1000
+    nb_bounces: int = 3          # slider 0-9
+    paths_per_pass: int = 1      # slider 1-8
+    subsampling: int = 0         # power-of-2 resolution divisor, 0-5
+    refract_ind: float = 1.0     # slider 1.0-2.5
+    light_intensity: float = 1.2
+    date: float = 0.0            # deterministic stand-in for wall clock
+    integrator: str = "montecarlo"
+    flat_face: bool = False
+    detach_sampling: bool = False
+    tile_rays: int = 1 << 16
+
+    @property
+    def render_width(self) -> int:
+        return max(1, self.width >> self.subsampling)
+
+    @property
+    def render_height(self) -> int:
+        return max(1, self.height >> self.subsampling)
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+class Renderer:
+    """Progressive path-tracing renderer over a compiled device scene."""
+
+    def __init__(self, scene: DeviceScene, config: RenderConfig,
+                 proj: np.ndarray | None = None,
+                 view: np.ndarray | None = None):
+        self.scene = scene
+        self.config = config
+        w, h = config.render_width, config.render_height
+        if proj is None or view is None:
+            proj, view = default_rt_camera(w, h)
+        self.proj, self.view = proj, view
+        origin, dirs, tc = camera_rays(proj, view, w, h)
+        npix = w * h
+        pad = _round_up(npix, min(config.tile_rays, _round_up(npix, 256)))
+        self._npix = npix
+        self._tile = min(config.tile_rays, pad)
+        self._ntiles = pad // self._tile
+        d = jnp.concatenate(
+            [dirs.reshape(npix, 3),
+             jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32),
+                              (pad - npix, 3))])
+        t = jnp.concatenate(
+            [tc.reshape(npix, 2), jnp.zeros((pad - npix, 2), jnp.float32)])
+        self._origin = origin
+        self._dirs = d.reshape(self._ntiles, self._tile, 3)
+        self._tc = t.reshape(self._ntiles, self._tile, 2)
+        self._integrator = get_integrator(config.integrator)
+        self._pass_fn = self._build_pass_fn()
+        self.reset()
+
+    # -- pass compilation --------------------------------------------------
+
+    def _build_pass_fn(self):
+        cfg = self.config
+        integrator = self._integrator
+
+        def one_pass(scene, acc, dirs, tc, origin, pass_index, refract_ind):
+            def tile_fn(args):
+                d, t = args
+                return integrator(
+                    scene, origin, d, t, pass_index,
+                    nb_bounces=cfg.nb_bounces, refract_ind=refract_ind,
+                    date=cfg.date, detach_sampling=cfg.detach_sampling)
+            if dirs.shape[0] == 1:
+                rgb = tile_fn((dirs[0], tc[0]))[None]
+            else:
+                rgb = jax.lax.map(tile_fn, (dirs, tc))
+            return acc + rgb
+
+        return jax.jit(one_pass, donate_argnums=(1,))
+
+    # -- accumulation protocol --------------------------------------------
+
+    def reset(self):
+        """Camera move / slider / scene switch analog: clear the FBO and
+        pass counter (montecarlo.cpp:238-246)."""
+        self._acc = jnp.zeros((self._ntiles, self._tile, 3), jnp.float32)
+        self.nb_passes = 0
+
+    def render_pass(self):
+        """One progressive pass (paths_per_pass sub-passes, each with its
+        own pass index — montecarlo.cpp:454-466)."""
+        for _ in range(self.config.paths_per_pass):
+            self._acc = self._pass_fn(
+                self.scene, self._acc, self._dirs, self._tc, self._origin,
+                jnp.int32(self.nb_passes),
+                jnp.float32(self.config.refract_ind))
+            self.nb_passes += 1
+
+    def run(self, spp: int):
+        while self.nb_passes < spp:
+            self.render_pass()
+        jax.block_until_ready(self._acc)
+        return self.image()
+
+    def image(self) -> np.ndarray:
+        """Resolve: accumulated sum / pass count (average.frag analog).
+        Returns [H, W, 3] float32, row 0 = bottom."""
+        w, h = self.config.render_width, self.config.render_height
+        acc = np.asarray(self._acc).reshape(-1, 3)[: self._npix]
+        return (acc / max(1, self.nb_passes)).reshape(h, w, 3)
+
+    def save_png(self, path: str):
+        write_png(path, self.image())
+
+    # -- checkpoint / resume ----------------------------------------------
+
+    def save_checkpoint(self, path: str):
+        np.savez_compressed(
+            path,
+            acc=np.asarray(self._acc),
+            nb_passes=self.nb_passes,
+            config=json.dumps(asdict(self.config)),
+        )
+
+    def load_checkpoint(self, path: str):
+        z = np.load(path, allow_pickle=False)
+        saved = json.loads(str(z["config"]))
+        current = asdict(self.config)
+        if saved != current:
+            raise ValueError(
+                f"checkpoint config mismatch: {saved} != {current}")
+        self._acc = jnp.asarray(z["acc"])
+        self.nb_passes = int(z["nb_passes"])
+
+
+def render_scene(scene_prims, config: RenderConfig, spp: int,
+                 proj=None, view=None) -> np.ndarray:
+    """Convenience one-shot: compile + render spp passes + resolve."""
+    dev = compile_scene(scene_prims, flat_face=config.flat_face)
+    r = Renderer(dev, config, proj, view)
+    return r.run(spp)

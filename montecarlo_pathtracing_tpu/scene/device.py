@@ -1,0 +1,196 @@
+"""Scene compile: host ScenePrimitives -> device pytree of arrays.
+
+The TPU replacement for BVH_GPU_Scene::finalize (bvh_gpu/gpu_bvh_scene.cpp:
+121-187). Instead of serializing PrimData records into RGBA32F textures, the
+scene becomes a pytree of dense arrays:
+
+  - per-prim tables indexed by global primitive id (after the reference's
+    emissives-first sort, scene.cpp:70-88): color [N,4], mat [N,4]
+    (shininess, roughness, emissivity, area), transfo / inv_transfo /
+    mesh_transfo [N,4,4]
+  - per-shape-type homogeneous groups (transfo/inv/prim-id, padded to a
+    chunk multiple) so each intersector kernel is branch-free — the TPU
+    answer to SIMT divergence over the type switch (intersect_prim,
+    raytracer_func.frag:690-704)
+  - per-mesh-instance pre-gathered triangle corner/normal arrays (padded
+    with degenerate triangles), replacing tex_tri_/tex_p_/tex_n_
+  - the scene BVH (heap boxes + leaf ids, exact bvh.cpp:34-93 format) and
+    per-mesh BVHs for the traversal kernels
+
+Static metadata (group codes, offsets, counts) lives in meta fields so the
+whole thing jits cleanly; `color` and `mat` are the differentiable leaves
+for the inverse-rendering path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .scene import (
+    ScenePrimitives, CODE_MESH, CODE_SPHERE, CODE_CUBE, CODE_CYLINDER,
+    CODE_CONE, CODE_ORIENTED_QUAD,
+)
+from .bvh_builder import build_bvh
+
+F32 = np.float32
+
+ANALYTIC_CODES = (CODE_SPHERE, CODE_CUBE, CODE_CYLINDER, CODE_CONE,
+                  CODE_ORIENTED_QUAD)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DeviceScene:
+    # --- per-prim tables (global prim id) ---
+    color: jnp.ndarray          # [N,4] f32 (differentiable)
+    mat: jnp.ndarray            # [N,4] f32 (differentiable)
+    transfo: jnp.ndarray        # [N,4,4]
+    inv_transfo: jnp.ndarray    # [N,4,4]
+    mesh_transfo: jnp.ndarray   # [N,4,4]
+    # --- typed analytic groups (tuple aligned with group_codes) ---
+    group_transfo: Tuple[jnp.ndarray, ...]   # each [P,4,4]
+    group_inv: Tuple[jnp.ndarray, ...]       # each [P,4,4]
+    group_prim: Tuple[jnp.ndarray, ...]      # each [P] i32, -1 pad
+    # --- mesh triangle pools (concatenated across instances) ---
+    tri_va: jnp.ndarray         # [T,3] mesh-local corner A
+    tri_vb: jnp.ndarray
+    tri_vc: jnp.ndarray
+    tri_na: jnp.ndarray         # [T,3] vertex normals
+    tri_nb: jnp.ndarray
+    tri_nc: jnp.ndarray
+    # --- scene BVH (reference bvh.cpp heap format) ---
+    bvh_bb_min: jnp.ndarray     # [2^(d+1)-1, 3]
+    bvh_bb_max: jnp.ndarray
+    bvh_leaf: jnp.ndarray       # [2^d] i32, -1 empty
+    # --- static metadata ---
+    group_codes: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    group_chunk: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    mesh_prim_index: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    mesh_tri_offset: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    mesh_tri_padded: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    tri_chunk: int = dataclasses.field(metadata=dict(static=True))
+    nb_prims: int = dataclasses.field(metadata=dict(static=True))
+    nb_emissives: int = dataclasses.field(metadata=dict(static=True))
+    bvh_depth: int = dataclasses.field(metadata=dict(static=True))
+    flat_face: bool = dataclasses.field(metadata=dict(static=True))
+    has_transparent: bool = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nb_meshes(self) -> int:
+        return len(self.mesh_prim_index)
+
+
+def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
+                  tri_chunk: int = 256, flat_face: bool = False,
+                  use_native_bvh=None) -> DeviceScene:
+    """finalize() analog: emissive sort -> BVH build -> dense device arrays."""
+    nb_emissives = scene.sort_emissive_first()
+    n = scene.nb
+    if n == 0:
+        raise ValueError("empty scene")
+
+    color = np.stack([p.color for p in scene.prims]).astype(F32)
+    mat = np.stack([p.mat for p in scene.prims]).astype(F32)
+    transfo = np.stack([p.transfo for p in scene.prims]).astype(F32)
+    inv_transfo = np.stack([p.inv_transfo for p in scene.prims]).astype(F32)
+    mesh_transfo = np.stack([p.mesh_transfo for p in scene.prims]).astype(F32)
+
+    # scene BVH over world AABBs (prim_bb padding x1.005, scene.cpp:18-42)
+    centers, bbmin, bbmax = scene.all_prim_bbs()
+    bvh = build_bvh(centers, bbmin, bbmax, use_native=use_native_bvh)
+
+    # typed analytic groups
+    group_codes, g_trf, g_inv, g_prim, g_chunk = [], [], [], [], []
+    for code in ANALYTIC_CODES:
+        idx = [i for i, p in enumerate(scene.prims) if p.type == code]
+        if not idx:
+            continue
+        chunk = min(analytic_chunk, _round_up(len(idx), 8))
+        pad = _round_up(len(idx), chunk)
+        trf = np.zeros((pad, 4, 4), F32)
+        inv = np.zeros((pad, 4, 4), F32)
+        trf[:] = np.eye(4, dtype=F32)
+        inv[:] = np.eye(4, dtype=F32)
+        pid = np.full(pad, -1, np.int32)
+        for k, i in enumerate(idx):
+            trf[k] = scene.prims[i].transfo
+            inv[k] = scene.prims[i].inv_transfo
+            pid[k] = i
+        group_codes.append(code)
+        g_trf.append(jnp.asarray(trf))
+        g_inv.append(jnp.asarray(inv))
+        g_prim.append(jnp.asarray(pid))
+        g_chunk.append(chunk)
+
+    # mesh instances: pre-gather triangle corners/normals in mesh-local space
+    mesh_prim_index, mesh_tri_offset, mesh_tri_padded = [], [], []
+    va_l, vb_l, vc_l, na_l, nb_l, nc_l = [], [], [], [], [], []
+    offset = 0
+    for i, p in enumerate(scene.prims):
+        if p.type != CODE_MESH:
+            continue
+        geom = scene.meshes[p.mesh_id]
+        t = geom.triangles
+        chunk = min(tri_chunk, _round_up(t.shape[0], 8))
+        pad = _round_up(t.shape[0], chunk)
+        va = np.zeros((pad, 3), F32)
+        vb = np.zeros((pad, 3), F32)
+        vc = np.zeros((pad, 3), F32)
+        na = np.zeros((pad, 3), F32)
+        nb_ = np.zeros((pad, 3), F32)
+        nc = np.zeros((pad, 3), F32)
+        va[:t.shape[0]] = geom.vertices[t[:, 0]]
+        vb[:t.shape[0]] = geom.vertices[t[:, 1]]
+        vc[:t.shape[0]] = geom.vertices[t[:, 2]]
+        na[:t.shape[0]] = geom.normals[t[:, 0]]
+        nb_[:t.shape[0]] = geom.normals[t[:, 1]]
+        nc[:t.shape[0]] = geom.normals[t[:, 2]]
+        mesh_prim_index.append(i)
+        mesh_tri_offset.append(offset)
+        mesh_tri_padded.append(pad)
+        va_l.append(va); vb_l.append(vb); vc_l.append(vc)
+        na_l.append(na); nb_l.append(nb_); nc_l.append(nc)
+        offset += pad
+
+    def cat(parts):
+        if not parts:
+            return jnp.zeros((0, 3), jnp.float32)
+        return jnp.asarray(np.concatenate(parts, axis=0))
+
+    has_transparent = bool(np.any(color[:, 3] < 1.0))
+
+    return DeviceScene(
+        color=jnp.asarray(color),
+        mat=jnp.asarray(mat),
+        transfo=jnp.asarray(transfo),
+        inv_transfo=jnp.asarray(inv_transfo),
+        mesh_transfo=jnp.asarray(mesh_transfo),
+        group_transfo=tuple(g_trf),
+        group_inv=tuple(g_inv),
+        group_prim=tuple(g_prim),
+        tri_va=cat(va_l), tri_vb=cat(vb_l), tri_vc=cat(vc_l),
+        tri_na=cat(na_l), tri_nb=cat(nb_l), tri_nc=cat(nc_l),
+        bvh_bb_min=jnp.asarray(bvh.bb_min),
+        bvh_bb_max=jnp.asarray(bvh.bb_max),
+        bvh_leaf=jnp.asarray(bvh.leaf),
+        group_codes=tuple(group_codes),
+        group_chunk=tuple(g_chunk),
+        mesh_prim_index=tuple(mesh_prim_index),
+        mesh_tri_offset=tuple(mesh_tri_offset),
+        mesh_tri_padded=tuple(mesh_tri_padded),
+        tri_chunk=tri_chunk,
+        nb_prims=n,
+        nb_emissives=nb_emissives,
+        bvh_depth=bvh.depth,
+        flat_face=flat_face,
+        has_transparent=has_transparent,
+    )

@@ -1,0 +1,196 @@
+"""Procedural triangle meshes + OBJ import.
+
+Covers the reference's Mesh library (easycppogl/mesh.cpp): procedural
+Cube (:252), Grid (:322), Wave (:356), Sphere as a lat-long grid (:431),
+Cylinder (:387), ClosedCylinder (:468), ClosedCone (:551), Tore (:602),
+area-weighted vertex normals (:125-141), and arbitrary-file import with
+smooth normals (:646-750 via Assimp — here a dependency-free OBJ parser).
+
+Geometry here is an independent TPU-framework design (flat numpy arrays),
+not a translation of the reference's vertex layouts.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .scene import MeshGeometry
+
+F32 = np.float32
+
+
+def compute_vertex_normals(vertices: np.ndarray, triangles: np.ndarray) -> np.ndarray:
+    """Area-weighted smooth vertex normals (mesh.cpp:125-141 semantics:
+    accumulate un-normalized face cross products, then normalize)."""
+    v = vertices.astype(np.float64)
+    t = triangles
+    fn = np.cross(v[t[:, 1]] - v[t[:, 0]], v[t[:, 2]] - v[t[:, 0]])
+    normals = np.zeros_like(v)
+    for k in range(3):
+        np.add.at(normals, t[:, k], fn)
+    lens = np.linalg.norm(normals, axis=1, keepdims=True)
+    lens[lens == 0] = 1.0
+    return (normals / lens).astype(F32)
+
+
+def _mesh(vertices, triangles, normals=None) -> MeshGeometry:
+    vertices = np.asarray(vertices, F32)
+    triangles = np.asarray(triangles, np.int32)
+    if normals is None:
+        normals = compute_vertex_normals(vertices, triangles)
+    return MeshGeometry(vertices, normals.astype(F32), triangles)
+
+
+def cube() -> MeshGeometry:
+    """Unit cube [-1,1]^3, 12 triangles, smooth normals."""
+    corners = np.array(
+        [[x, y, z] for z in (-1, 1) for y in (-1, 1) for x in (-1, 1)], F32
+    )
+    quads = [
+        (0, 2, 3, 1),  # z = -1
+        (4, 5, 7, 6),  # z = +1
+        (0, 1, 5, 4),  # y = -1
+        (2, 6, 7, 3),  # y = +1
+        (0, 4, 6, 2),  # x = -1
+        (1, 3, 7, 5),  # x = +1
+    ]
+    tris = []
+    for a, b, c, d in quads:
+        tris += [(a, b, c), (a, c, d)]
+    return _mesh(corners, tris)
+
+
+def grid(m: int = 8, n: int = 8) -> MeshGeometry:
+    """Flat [-1,1]^2 grid at z=0 (mesh.cpp:322)."""
+    xs = np.linspace(-1, 1, m + 1, dtype=F32)
+    ys = np.linspace(-1, 1, n + 1, dtype=F32)
+    vv = np.array([[x, y, 0.0] for y in ys for x in xs], F32)
+    tris = []
+    for j in range(n):
+        for i in range(m):
+            a = j * (m + 1) + i
+            b, c, d = a + 1, a + m + 2, a + m + 1
+            tris += [(a, b, c), (a, c, d)]
+    return _mesh(vv, tris)
+
+
+def wave(m: int = 32) -> MeshGeometry:
+    """Grid displaced by a radial cosine wave (mesh.cpp:356)."""
+    g = grid(m, m)
+    v = g.vertices.copy()
+    r = np.sqrt(v[:, 0] ** 2 + v[:, 1] ** 2)
+    v[:, 2] = 0.2 * np.cos(6.0 * r) / (1.0 + 2.0 * r)
+    return _mesh(v, g.triangles)
+
+
+def sphere(res: int = 24) -> MeshGeometry:
+    """Unit lat-long sphere (mesh.cpp:431)."""
+    verts = [(0.0, 0.0, -1.0)]
+    for j in range(1, res):
+        theta = np.pi * j / res - np.pi / 2
+        for i in range(res * 2):
+            phi = 2 * np.pi * i / (res * 2)
+            verts.append(
+                (np.cos(theta) * np.cos(phi), np.cos(theta) * np.sin(phi),
+                 np.sin(theta))
+            )
+    verts.append((0.0, 0.0, 1.0))
+    verts = np.array(verts, F32)
+    W = res * 2
+    tris = []
+    for i in range(W):
+        tris.append((0, 1 + (i + 1) % W, 1 + i))
+    for j in range(res - 2):
+        r0 = 1 + j * W
+        r1 = r0 + W
+        for i in range(W):
+            a, b = r0 + i, r0 + (i + 1) % W
+            c, d = r1 + (i + 1) % W, r1 + i
+            tris += [(a, b, c), (a, c, d)]
+    top = len(verts) - 1
+    rl = 1 + (res - 2) * W
+    for i in range(W):
+        tris.append((top, rl + i, rl + (i + 1) % W))
+    return _mesh(verts, tris)
+
+
+def _ring(radius, z, n):
+    ang = 2 * np.pi * np.arange(n) / n
+    return np.stack(
+        [radius * np.cos(ang), radius * np.sin(ang), np.full(n, z)], axis=1
+    ).astype(F32)
+
+
+def cylinder(sides: int = 32, closed: bool = True) -> MeshGeometry:
+    """Unit z-cylinder, optionally capped (mesh.cpp:387,468)."""
+    bot = _ring(1.0, -1.0, sides)
+    top = _ring(1.0, 1.0, sides)
+    verts = [bot, top]
+    tris = []
+    for i in range(sides):
+        a, b = i, (i + 1) % sides
+        c, d = sides + (i + 1) % sides, sides + i
+        tris += [(a, b, c), (a, c, d)]
+    if closed:
+        nb = 2 * sides
+        verts += [np.array([[0, 0, -1.0]], F32), np.array([[0, 0, 1.0]], F32)]
+        for i in range(sides):
+            tris.append((nb, (i + 1) % sides, i))
+            tris.append((nb + 1, sides + i, sides + (i + 1) % sides))
+    return _mesh(np.concatenate(verts), tris)
+
+
+def cone(sides: int = 32, closed: bool = True) -> MeshGeometry:
+    """Unit cone: base ring at z=-1, apex at z=+1 (mesh.cpp:551)."""
+    base = _ring(1.0, -1.0, sides)
+    verts = [base, np.array([[0, 0, 1.0]], F32)]
+    apex = sides
+    tris = [(i, (i + 1) % sides, apex) for i in range(sides)]
+    if closed:
+        verts.append(np.array([[0, 0, -1.0]], F32))
+        cbot = sides + 1
+        tris += [(cbot, (i + 1) % sides, i) for i in range(sides)]
+    return _mesh(np.concatenate(verts), tris)
+
+
+def torus(major: float = 1.0, minor: float = 0.35, n1: int = 32,
+          n2: int = 16) -> MeshGeometry:
+    """Torus in the xy-plane (mesh.cpp:602)."""
+    verts = []
+    for i in range(n1):
+        a = 2 * np.pi * i / n1
+        cx, cy = major * np.cos(a), major * np.sin(a)
+        for j in range(n2):
+            b = 2 * np.pi * j / n2
+            r = major + minor * np.cos(b)
+            verts.append((r * np.cos(a), r * np.sin(a), minor * np.sin(b)))
+    verts = np.array(verts, F32)
+    tris = []
+    for i in range(n1):
+        for j in range(n2):
+            a = i * n2 + j
+            b = i * n2 + (j + 1) % n2
+            c = ((i + 1) % n1) * n2 + (j + 1) % n2
+            d = ((i + 1) % n1) * n2 + j
+            tris += [(a, b, c), (a, c, d)]
+    return _mesh(verts, tris)
+
+
+def load_obj(path: str) -> MeshGeometry:
+    """Minimal OBJ parser: v/vn/f records, polygons fan-triangulated,
+    normals recomputed area-weighted when absent (mesh.cpp:646-750 analog)."""
+    verts, norms, faces = [], [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "vn":
+                norms.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) for p in parts[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                for k in range(1, len(idx) - 1):
+                    faces.append((idx[0], idx[k], idx[k + 1]))
+    return _mesh(np.array(verts, F32), np.array(faces, np.int32))
