@@ -63,6 +63,16 @@ def main(argv=None):
 
     sub.add_parser("scenes", help="list built-in scenes")
 
+    sp = sub.add_parser("sampling",
+                        help="hemisphere-sampling visualizer (DrawSampling)")
+    sp.add_argument("--sampler", default="hsphere",
+                    choices=["hsphere", "hsphere_wrong", "hsphere_wrong2"])
+    sp.add_argument("--samples", type=int, default=4000)
+    sp.add_argument("--roughness", type=float, default=1.0)
+    sp.add_argument("--normal", type=float, nargs=3, default=[0.0, 0.0, 1.0])
+    sp.add_argument("--out", default="sampling.png")
+    sp.add_argument("--cpu", action="store_true")
+
     bp = sub.add_parser("bench", help="throughput measurement")
     _add_render_args(bp)
     bp.add_argument("--warmup", type=int, default=2)
@@ -78,6 +88,14 @@ def main(argv=None):
     if getattr(args, "cpu", False):
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    if args.cmd == "sampling":
+        from .models.draw_sampling import save_sampling_png
+        save_sampling_png(args.out, n_samples=args.samples,
+                          normal=tuple(args.normal),
+                          roughness=args.roughness, sampler=args.sampler)
+        print(args.out)
+        return 0
 
     from .scene import scenes
     from .scene.device import compile_scene

@@ -1,0 +1,73 @@
+"""Profiling & observability — the FPS-counter/GPU-memory-query layer.
+
+The reference's only instruments are an FPS average over 50-frame windows
+(easycppogl/gl_viewer.cpp:412-418), a BVH-build wall-time print
+(MontecarloGPU/montecarlo.cpp:354-363), and NVX GPU-memory queries
+(gl_viewer.cpp:443-452). TPU equivalents:
+
+  - PassTimer: windowed passes/s + rays/s counters (the FPS analog)
+  - trace_context: jax.profiler trace to a directory for xprof
+  - device_memory_stats: per-device HBM usage (the NVX query analog)
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import deque
+
+import jax
+
+
+class PassTimer:
+    """Windowed throughput counter (50-pass window like the reference's
+    50-frame FPS window)."""
+
+    def __init__(self, rays_per_pass: int, window: int = 50):
+        self.rays_per_pass = rays_per_pass
+        self.times = deque(maxlen=window + 1)
+
+    def tick(self):
+        self.times.append(time.perf_counter())
+
+    @property
+    def passes_per_s(self) -> float:
+        if len(self.times) < 2:
+            return 0.0
+        dt = self.times[-1] - self.times[0]
+        return (len(self.times) - 1) / dt if dt > 0 else 0.0
+
+    @property
+    def rays_per_s(self) -> float:
+        return self.passes_per_s * self.rays_per_pass
+
+
+@contextlib.contextmanager
+def trace_context(logdir: str):
+    """jax.profiler trace for xprof / tensorboard."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_memory_stats():
+    """Per-device memory stats dict (bytes); empty entries where the
+    backend doesn't report (CPU)."""
+    out = {}
+    for d in jax.devices():
+        try:
+            out[str(d)] = d.memory_stats() or {}
+        except Exception:
+            out[str(d)] = {}
+    return out
+
+
+def timed_block(fn, *args, sync=True):
+    """(result, seconds) with device sync — correct TPU timing needs
+    block_until_ready, not wall clock around dispatch."""
+    t0 = time.perf_counter()
+    out = fn(*args)
+    if sync:
+        out = jax.block_until_ready(out)
+    return out, time.perf_counter() - t0
