@@ -39,21 +39,27 @@ def main():
         RenderConfig, Renderer)
 
     width, height, bounces = 800, 600, 3
-    warmup_passes, timed_passes = 2, 8
+    ppc = 16                     # passes per jitted call (amortizes the
+    timed_calls = 4              # per-call dispatch latency of the tunnel)
+    timed_passes = ppc * timed_calls
 
     dev = compile_scene(scenes.build("box_diffuse"))
     cfg = RenderConfig(width=width, height=height, nb_bounces=bounces,
-                       tile_rays=1 << 17)
+                       tile_rays=1 << 17, passes_per_call=ppc)
     r = Renderer(dev, cfg)
 
-    for _ in range(warmup_passes):
-        r.render_pass()
-    jax.block_until_ready(r._acc)
+    # NB: through the remote-TPU tunnel, block_until_ready alone does not
+    # observe completion reliably — a value fetch does. Sync by fetching a
+    # scalar reduction of the accumulator.
+    def sync():
+        return float(jnp.sum(r._acc))
+
+    r.run(ppc)          # warmup: compiles the batched multi-pass call
+    sync()
 
     t0 = time.perf_counter()
-    for _ in range(timed_passes):
-        r.render_pass()
-    jax.block_until_ready(r._acc)
+    r.run(ppc + timed_passes)
+    sync()
     dt = time.perf_counter() - t0
 
     rays = width * height * timed_passes * bounces

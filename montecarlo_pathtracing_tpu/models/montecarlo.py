@@ -58,7 +58,7 @@ def sky_color(d):
 
 
 def random_path(scene, O, D, state, *, nb_bounces: int, refract_ind,
-                detach_sampling: bool = False):
+                detach_sampling: bool = False, use_pallas: bool = False):
     """One path per lane. O, D: [N,3] world rays (D normalized), state:
     uint32 [N,3] RNG counters. Returns (rgb [N,3], state)."""
     n = D.shape[0]
@@ -71,7 +71,7 @@ def random_path(scene, O, D, state, *, nb_bounces: int, refract_ind,
     def bounce(i, carry):
         O, D, attenu, total, result, done, state = carry
         del i
-        hit = trace(scene, O, D)
+        hit = trace(scene, O, D, use_pallas=use_pallas)
 
         active = ~done
         is_hit = hit.shape >= 0
@@ -140,7 +140,7 @@ def random_path(scene, O, D, state, *, nb_bounces: int, refract_ind,
                             refract_glsl(D, N, refract_ind), D)
         d_inner = jnp.where(refr_lane[..., None], d_inner, unit_z)
         o_inner = jnp.where(refr_lane[..., None], P - BIAS * N, O)
-        hit2 = trace(scene, o_inner, d_inner)
+        hit2 = trace(scene, o_inner, d_inner, use_pallas=use_pallas)
         n2_raw, p2_raw = intersection_info(scene, hit2, prev_n=N, prev_p=P)
         N2 = jnp.where(refr_lane[..., None], n2_raw, unit_z)
         P2 = jnp.where(refr_lane[..., None], p2_raw, P)
@@ -181,7 +181,8 @@ def random_path(scene, O, D, state, *, nb_bounces: int, refract_ind,
 
 
 def raytrace(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
-             refract_ind, date=0.0, detach_sampling: bool = False):
+             refract_ind, date=0.0, detach_sampling: bool = False,
+             use_pallas: bool = False):
     """tp/montecarlo.frag:182-188: srand + one random path per lane.
 
     O: [3] camera origin; D: [N,3] ray dirs; screen_tc: [N,2].
@@ -191,5 +192,5 @@ def raytrace(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
     rgb, _ = random_path(
         scene, O, normalize(D), state,
         nb_bounces=nb_bounces, refract_ind=refract_ind,
-        detach_sampling=detach_sampling)
+        detach_sampling=detach_sampling, use_pallas=use_pallas)
     return rgb

@@ -24,18 +24,48 @@ from . import intersect
 from .intersect import Hit, miss_hit, trace_analytic_group, trace_mesh_instance
 
 
-def trace(scene, O, D) -> Hit:
-    """Closest hit of world rays O, D: [N,3] against the whole scene."""
+def trace(scene, O, D, *, use_pallas: bool = False,
+          pallas_interpret: bool = False) -> Hit:
+    """Closest hit of world rays O, D: [N,3] against the whole scene.
+
+    use_pallas routes the analytic groups through the fused VMEM kernel
+    (ops/pallas_trace.py) — same winners, ~no HBM intermediates; the
+    dense XLA path remains the default and the reference semantics.
+    """
     best = miss_hit(O.shape[:-1])
+    if use_pallas:
+        from .pallas_trace import trace_analytic_group_pallas, PRIM_CHUNK
     for gi, code in enumerate(scene.group_codes):
+        # the fused kernel pads groups to PRIM_CHUNK lanes — a win only
+        # when the group actually fills them (measured: 6x faster on the
+        # 895-prim colonnes scene, slower on the 9-prim box)
+        if use_pallas and scene.group_prim[gi].shape[0] >= PRIM_CHUNK:
+            best = trace_analytic_group_pallas(
+                best, O, D, code,
+                scene.group_transfo[gi], scene.group_inv[gi],
+                scene.group_prim[gi], interpret=pallas_interpret,
+            )
+            continue
         best = trace_analytic_group(
             best, O, D, code,
             scene.group_transfo[gi], scene.group_inv[gi],
             scene.group_prim[gi], scene.group_chunk[gi],
         )
+    if use_pallas and scene.mesh_prim_index:
+        from .pallas_trace import trace_mesh_instance_pallas
     for mi, prim_index in enumerate(scene.mesh_prim_index):
         off = scene.mesh_tri_offset[mi]
         cnt = scene.mesh_tri_padded[mi]
+        if use_pallas:
+            best = trace_mesh_instance_pallas(
+                best, O, D,
+                scene.inv_transfo[prim_index],
+                scene.mesh_transfo[prim_index], prim_index,
+                scene.tri_va[off:off + cnt], scene.tri_vb[off:off + cnt],
+                scene.tri_vc[off:off + cnt],
+                tri_offset=off, interpret=pallas_interpret,
+            )
+            continue
         chunk = min(scene.tri_chunk, cnt)
         best = trace_mesh_instance(
             best, O, D,

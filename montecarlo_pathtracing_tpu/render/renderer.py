@@ -48,6 +48,8 @@ class RenderConfig:
     integrator: str = "montecarlo"
     flat_face: bool = False
     detach_sampling: bool = False
+    use_pallas: bool = False     # fused VMEM trace kernel (TPU)
+    passes_per_call: int = 8     # passes folded into one jitted call
     tile_rays: int = 1 << 16
 
     @property
@@ -91,29 +93,55 @@ class Renderer:
         self._dirs = d.reshape(self._ntiles, self._tile, 3)
         self._tc = t.reshape(self._ntiles, self._tile, 2)
         self._integrator = get_integrator(config.integrator)
-        self._pass_fn = self._build_pass_fn()
+        self._pass_fn = self._build_pass_fn(1)
+        self._multi_fn = None   # built lazily for batched runs
         self.reset()
 
     # -- pass compilation --------------------------------------------------
 
-    def _build_pass_fn(self):
+    def _build_pass_fn(self, n_passes: int):
+        """Jitted accumulate step folding n_passes progressive passes into
+        one device call. Batching matters: per-call dispatch latency
+        (hundreds of ms through a remote-TPU tunnel) would otherwise dwarf
+        the per-pass compute. The passes are folded by REPLICATING the ray
+        tiles across the existing lax.map with per-tile pass offsets
+        (pass k of tile j is map element k*ntiles+j) — no extra loop
+        nesting, identical accumulation to sequential single passes."""
         cfg = self.config
         integrator = self._integrator
+        ntiles = self._ntiles
 
-        def one_pass(scene, acc, dirs, tc, origin, pass_index, refract_ind):
+        def multi_pass(scene, acc, dirs, tc, origin, base_pass, refract_ind):
             def tile_fn(args):
-                d, t = args
+                d, t, poff = args
                 return integrator(
-                    scene, origin, d, t, pass_index,
+                    scene, origin, d, t, base_pass + poff,
                     nb_bounces=cfg.nb_bounces, refract_ind=refract_ind,
-                    date=cfg.date, detach_sampling=cfg.detach_sampling)
-            if dirs.shape[0] == 1:
-                rgb = tile_fn((dirs[0], tc[0]))[None]
+                    date=cfg.date, detach_sampling=cfg.detach_sampling,
+                    use_pallas=cfg.use_pallas)
+
+            if n_passes == 1:
+                poffs = jnp.zeros((ntiles,), jnp.int32)
+                d_rep, t_rep = dirs, tc
             else:
-                rgb = jax.lax.map(tile_fn, (dirs, tc))
+                poffs = jnp.repeat(jnp.arange(n_passes, dtype=jnp.int32),
+                                   ntiles)
+                d_rep = jnp.tile(dirs, (n_passes, 1, 1))
+                t_rep = jnp.tile(tc, (n_passes, 1, 1))
+            if d_rep.shape[0] == 1:
+                rgb = tile_fn((d_rep[0], t_rep[0], poffs[0]))[None]
+            else:
+                rgb = jax.lax.map(tile_fn, (d_rep, t_rep, poffs))
+            if n_passes > 1:
+                # accumulate in pass order so the result is bit-identical
+                # to sequential single-pass calls (f32 adds don't commute)
+                rgb_r = rgb.reshape((n_passes, ntiles) + rgb.shape[1:])
+                for k in range(n_passes):
+                    acc = acc + rgb_r[k]
+                return acc
             return acc + rgb
 
-        return jax.jit(one_pass, donate_argnums=(1,))
+        return jax.jit(multi_pass, donate_argnums=(1,))
 
     # -- accumulation protocol --------------------------------------------
 
@@ -134,6 +162,16 @@ class Renderer:
             self.nb_passes += 1
 
     def run(self, spp: int):
+        """Render up to spp passes, using batched multi-pass calls."""
+        ppc = max(1, self.config.passes_per_call)
+        while self.nb_passes + ppc <= spp and self.config.paths_per_pass == 1:
+            if self._multi_fn is None:
+                self._multi_fn = self._build_pass_fn(ppc)
+            self._acc = self._multi_fn(
+                self.scene, self._acc, self._dirs, self._tc, self._origin,
+                jnp.int32(self.nb_passes),
+                jnp.float32(self.config.refract_ind))
+            self.nb_passes += ppc
         while self.nb_passes < spp:
             self.render_pass()
         jax.block_until_ready(self._acc)

@@ -86,6 +86,16 @@ def test_reset_clears_accumulation(box_scene):
     assert float(np.abs(np.asarray(r._acc)).max()) == 0.0
 
 
+def test_batched_multipass_matches_singles(box_scene):
+    """run() with passes_per_call>1 must accumulate exactly what the
+    single-pass path does (same RNG pass indices)."""
+    r_batched = _renderer(box_scene, passes_per_call=4)
+    img_b = r_batched.run(8)
+    r_single = _renderer(box_scene, passes_per_call=1)
+    img_s = r_single.run(8)
+    np.testing.assert_array_equal(img_b, img_s)
+
+
 def test_tiled_rendering_matches_untiled(box_scene):
     cfg_small_tile = RenderConfig(width=32, height=24, nb_bounces=3,
                                   tile_rays=256)
