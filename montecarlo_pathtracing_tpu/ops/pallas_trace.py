@@ -246,23 +246,24 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("shape_code", "interpret"))
-def _group_best(O, D, shape_code, transfo, inv, prim_idx, interpret=False):
-    """Per-ray winner of one homogeneous group via the Pallas kernel.
-    O, D: [N,3]. Returns (dist, row, a, dircode) each [N]; row is the
-    GROUP row of the winner (-1 = miss), not the scene prim id."""
-    n = O.shape[0]
-    npad = _round_up(n, RAY_TILE)
-    o = jnp.zeros((3, npad), jnp.float32).at[:, :n].set(O.T)
-    d = jnp.ones((3, npad), jnp.float32).at[:, :n].set(D.T)
-
+def _pad_group(transfo, inv, prim_idx):
+    """Pad a group's transform tables to PRIM_CHUNK lanes as [12, ppad]
+    affine rows + [1, ppad] scene ids."""
     p = transfo.shape[0]
     ppad = _round_up(p, PRIM_CHUNK)
     inv_r = jnp.zeros((12, ppad), jnp.float32).at[:, :p].set(_affine_rows(inv))
     trf_r = jnp.zeros((12, ppad), jnp.float32).at[:, :p].set(
         _affine_rows(transfo))
     pid = jnp.full((1, ppad), -1, jnp.int32).at[0, :p].set(prim_idx)
+    return inv_r, trf_r, pid
 
+
+def group_best_rows(o, d, shape_code, inv_r, trf_r, pid, interpret=False):
+    """SoA core: o, d [3, npad] ray rows (npad multiple of RAY_TILE),
+    padded prim tables from _pad_group. Returns (dist, row, a, dircode)
+    each [npad]; row is the GROUP row of the winner (-1 = miss)."""
+    npad = o.shape[1]
+    ppad = inv_r.shape[1]
     grid = (npad // RAY_TILE,)
     kernel = functools.partial(_group_kernel, shape_code, ppad // PRIM_CHUNK)
     out_shape = [
@@ -279,7 +280,7 @@ def _group_best(O, D, shape_code, transfo, inv, prim_idx, interpret=False):
                          memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    dist, prim, a, dircode = pl.pallas_call(
+    dist, row, a, dircode = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[ray_spec, ray_spec, full12, full12, full1],
@@ -287,7 +288,20 @@ def _group_best(O, D, shape_code, transfo, inv, prim_idx, interpret=False):
         out_shape=out_shape,
         interpret=interpret,
     )(o, d, inv_r, trf_r, pid)
-    return dist[0, :n], prim[0, :n], a[0, :n], dircode[0, :n]
+    return dist[0], row[0], a[0], dircode[0]
+
+
+@functools.partial(jax.jit, static_argnames=("shape_code", "interpret"))
+def _group_best(O, D, shape_code, transfo, inv, prim_idx, interpret=False):
+    """AoS wrapper around group_best_rows. O, D: [N,3]."""
+    n = O.shape[0]
+    npad = _round_up(n, RAY_TILE)
+    o = jnp.zeros((3, npad), jnp.float32).at[:, :n].set(O.T)
+    d = jnp.ones((3, npad), jnp.float32).at[:, :n].set(D.T)
+    inv_r, trf_r, pid = _pad_group(transfo, inv, prim_idx)
+    dist, row, a, dircode = group_best_rows(
+        o, d, shape_code, inv_r, trf_r, pid, interpret=interpret)
+    return dist[:n], row[:n], a[:n], dircode[:n]
 
 
 def trace_analytic_group_pallas(best: Hit, O, D, shape_code,
@@ -381,19 +395,11 @@ def _tri_kernel(nchunks, o_ref, d_ref, tri_ref, a_ref, row_ref):
     row_ref[0, :] = jnp.where(ba[:, 0] < FLT_MAX, brow[:, 0], -1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _mesh_best(Oi, Di, va, vb, vc, interpret=False):
-    """Winner (a, row) per ray over one instance's triangles.
-    Oi, Di: [N,3] MESH-LOCAL rays (Di normalized); va/vb/vc: [P,3]."""
-    n = Oi.shape[0]
-    npad = _round_up(n, RAY_TILE)
-    o = jnp.zeros((3, npad), jnp.float32).at[:, :n].set(Oi.T)
-    d = jnp.ones((3, npad), jnp.float32).at[:, :n].set(Di.T)
-    p = va.shape[0]
-    ppad = _round_up(p, PRIM_CHUNK)
-    tri = jnp.zeros((9, ppad), jnp.float32)
-    tri = tri.at[0:3, :p].set(va.T).at[3:6, :p].set(vb.T).at[6:9, :p].set(vc.T)
-
+def mesh_best_rows(o, d, tri, interpret=False):
+    """SoA core: o, d [3, npad] MESH-LOCAL ray rows (d normalized),
+    tri [9, ppad] corner rows. Returns (a, row) each [npad]."""
+    npad = o.shape[1]
+    ppad = tri.shape[1]
     grid = (npad // RAY_TILE,)
     kernel = functools.partial(_tri_kernel, ppad // PRIM_CHUNK)
     ray_spec = pl.BlockSpec((3, RAY_TILE), lambda i: (0, i),
@@ -411,7 +417,30 @@ def _mesh_best(Oi, Di, va, vb, vc, interpret=False):
                    jax.ShapeDtypeStruct((1, npad), jnp.int32)],
         interpret=interpret,
     )(o, d, tri)
-    return a[0, :n], row[0, :n]
+    return a[0], row[0]
+
+
+def pad_tris(va, vb, vc):
+    """[P,3] corners -> [9, ppad] rows (ax ay az bx .. cz), zero padding
+    (degenerate triangles never hit)."""
+    p = va.shape[0]
+    ppad = _round_up(p, PRIM_CHUNK)
+    tri = jnp.zeros((9, ppad), jnp.float32)
+    return (tri.at[0:3, :p].set(va.T).at[3:6, :p].set(vb.T)
+            .at[6:9, :p].set(vc.T))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mesh_best(Oi, Di, va, vb, vc, interpret=False):
+    """Winner (a, row) per ray over one instance's triangles.
+    Oi, Di: [N,3] MESH-LOCAL rays (Di normalized); va/vb/vc: [P,3]."""
+    n = Oi.shape[0]
+    npad = _round_up(n, RAY_TILE)
+    o = jnp.zeros((3, npad), jnp.float32).at[:, :n].set(Oi.T)
+    d = jnp.ones((3, npad), jnp.float32).at[:, :n].set(Di.T)
+    tri = pad_tris(va, vb, vc)
+    a, row = mesh_best_rows(o, d, tri, interpret=interpret)
+    return a[:n], row[:n]
 
 
 def trace_mesh_instance_pallas(best: Hit, O, D, inv, mesh_transfo,

@@ -127,6 +127,46 @@ def uniform3(state):
 
 
 # ---------------------------------------------------------------------------
+# SoA variants: state as a tuple (s0, s1, s2) of [N] uint32 arrays — the
+# TPU-layout twin of the [N, 3] API above (see ops/vec.py for why). Bit-
+# identical streams to the AoS functions.
+# ---------------------------------------------------------------------------
+
+def xxhash32_soa(s0, s1, s2):
+    h = s2 + UINT(_P5) + s0 * UINT(_P3)
+    h = UINT(_P4) * _rotl17(h)
+    h = h + s1 * UINT(_P3)
+    h = UINT(_P4) * _rotl17(h)
+    h = UINT(_P2) * (h ^ (h >> UINT(15)))
+    h = UINT(_P3) * (h ^ (h >> UINT(13)))
+    return h ^ (h >> UINT(16))
+
+
+def srand_soa(u, v, pass_index, date=0.0):
+    """u, v: [N] float32 screen coords. Returns state tuple of [N] uint32."""
+    bu = jax.lax.bitcast_convert_type(u.astype(jnp.float32), UINT)
+    bv = jax.lax.bitcast_convert_type(v.astype(jnp.float32), UINT)
+    p = jnp.asarray(pass_index).astype(UINT)
+    db = jax.lax.bitcast_convert_type(jnp.float32(date), UINT)
+    y = jnp.broadcast_to(p * UINT(GOLDEN) + db, u.shape)
+    return (bu, y, bv)
+
+
+def uniform_soa(state):
+    s0, s1, s2 = state
+    m = xxhash32_soa(s0, s1, s2)
+    m = (m & UINT(_MANTISSA)) | UINT(_ONE_F32)
+    f = jax.lax.bitcast_convert_type(m, jnp.float32) - jnp.float32(1.0)
+    return f, (s0 + UINT(ADVANCE[0]), s1 + UINT(ADVANCE[1]),
+               s2 + UINT(ADVANCE[2]))
+
+
+def uniform_masked_soa(state, mask):
+    f, new = uniform_soa(state)
+    return f, tuple(jnp.where(mask, n, s) for n, s in zip(new, state))
+
+
+# ---------------------------------------------------------------------------
 # Pure-python oracle (for tests; no jax)
 # ---------------------------------------------------------------------------
 

@@ -105,6 +105,50 @@ def random_ray_masked(state, d, roughness, mask):
 
 
 # ---------------------------------------------------------------------------
+# SoA variants (vec3 = tuple of [N] arrays; see ops/vec.py). Bit-equal draw
+# schedule to the AoS versions; used by the TPU-layout integrator.
+# ---------------------------------------------------------------------------
+
+def sample_hemisphere_soa(state, roughness, mask):
+    """SoA masked hemisphere sample; returns (vec3, state)."""
+    from . import vec
+    alpha = roughness * roughness
+    u1, state = rng.uniform_masked_soa(state, mask)
+    beta = 2.0 * PI * u1
+    u2, state = rng.uniform_masked_soa(state, mask)
+    tan_theta2 = -(alpha * alpha) * jnp.log(1.0 - u2)
+    cos_theta = 1.0 / jnp.sqrt(1.0 + tan_theta2)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    local = (jnp.cos(beta) * sin_theta, jnp.sin(beta) * sin_theta,
+             cos_theta)
+    return vec.normalize(local), state
+
+
+def random_ray_soa(state, d, roughness, mask):
+    """SoA masked random_ray: ONB about d (tp/montecarlo.frag:72-89)."""
+    from . import vec
+    w = vec.normalize((d[0], d[1] + 5.0, d[2] + 3.0))
+    u = vec.normalize(vec.cross(d, w))
+    v = vec.normalize(vec.cross(d, u))
+    local, state = sample_hemisphere_soa(state, roughness, mask)
+    out = (
+        u[0] * local[0] + v[0] * local[1] + d[0] * local[2],
+        u[1] * local[0] + v[1] * local[1] + d[1] * local[2],
+        u[2] * local[0] + v[2] * local[1] + d[2] * local[2],
+    )
+    return vec.normalize(out), state
+
+
+def schlick_soa(i, n, refract_ind):
+    from . import vec
+    r0 = (refract_ind - 1.0) / (refract_ind + 1.0)
+    r0 = r0 * r0
+    x = 1.0 - vec.dot(n, i)
+    x5 = x * x * x * x * x
+    return jnp.clip(r0 + (1.0 - r0) * x5, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
 # Wrong-sampler foils (negative controls for the statistics tests)
 # ---------------------------------------------------------------------------
 

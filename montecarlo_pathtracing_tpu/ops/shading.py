@@ -123,3 +123,80 @@ def intersection_info(scene, hit: Hit, prev_n=None, prev_p=None):
     if prev_p is None:
         prev_p = jnp.zeros_like(pg)
     return jnp.where(is_hit, n, prev_n), jnp.where(is_hit, pg, prev_p)
+
+
+# ---------------------------------------------------------------------------
+# SoA intersection_info (vec3 = tuple of [M] arrays) — the TPU-layout twin
+# of the function above; used by the SoA integrator. Same formulas.
+# ---------------------------------------------------------------------------
+
+def intersection_info_soa(scene, hit, prev=None):
+    """hit: ops.trace.HitS. Returns (n vec3, p vec3); keeps prev on miss."""
+    from . import vec
+
+    prim = jnp.clip(hit.prim, 0, scene.nb_prims - 1)
+    trf_rows = jnp.take(vec.affine_rows(scene.transfo), prim, axis=1)
+    pl, pg = hit.pl, hit.pg
+    shape = hit.shape
+    dircode = hit.dircode
+    z = jnp.zeros_like(pl[0])
+    one = jnp.ones_like(pl[0])
+
+    # cube: axis = dir//2, sign from dir%2
+    ax = dircode // 2
+    sg = jnp.where(dircode % 2 != 0, 1.0, -1.0)
+    no_cube = (jnp.where(ax == 0, sg, 0.0), jnp.where(ax == 1, sg, 0.0),
+               jnp.where(ax == 2, sg, 0.0))
+    # cylinder: caps +-z, side (pl.xy, 0)
+    cap = dircode < 2
+    no_cyl = (jnp.where(cap, z, pl[0]), jnp.where(cap, z, pl[1]),
+              jnp.where(cap, jnp.where(dircode % 2 != 0, 1.0, -1.0), z))
+    # cone: bottom cap (0,0,-1); side (pl.xy, |pl.xy|/2)
+    rxy = jnp.sqrt(pl[0] * pl[0] + pl[1] * pl[1])
+    bot = dircode == 0
+    no_cone = (jnp.where(bot, z, pl[0]), jnp.where(bot, z, pl[1]),
+               jnp.where(bot, -one, rxy / 2.0))
+    no_quad = (z, z, one)
+
+    # select local offset, sphere uses the point 2*pl directly
+    def sel(code, v, default):
+        return vec.where(shape == code, v, default)
+
+    no = sel(CODE_CUBE, no_cube,
+             sel(CODE_CYLINDER, no_cyl,
+                 sel(CODE_CONE, no_cone, no_quad)))
+    point = vec.where(shape == CODE_SPHERE, vec.scale(pl, 2.0),
+                      vec.add(pl, no))
+    n = vec.normalize(vec.sub(vec.apply_affine(trf_rows, point), pg),
+                      eps=1e-30)
+    cone_zero = (shape == CODE_CONE) & (dircode == 1)
+    n = vec.where(cone_zero, (z, z, z), n)
+
+    if scene.tri_va.shape[0] > 0:
+        tri = jnp.clip(hit.tri, 0, scene.tri_va.shape[0] - 1)
+        A = tuple(jnp.take(scene.tri_va[:, c], tri) for c in range(3))
+        B = tuple(jnp.take(scene.tri_vb[:, c], tri) for c in range(3))
+        C = tuple(jnp.take(scene.tri_vc[:, c], tri) for c in range(3))
+        mrows = jnp.take(vec.affine_rows(scene.mesh_transfo), prim, axis=1)
+        if scene.flat_face:
+            no_mesh = vec.cross(vec.sub(B, A), vec.sub(C, A))
+        else:
+            PA, PB, PC = vec.sub(A, pl), vec.sub(B, pl), vec.sub(C, pl)
+            tA = vec.length(vec.cross(PB, PC))
+            tB = vec.length(vec.cross(PA, PC))
+            tC = vec.length(vec.cross(PA, PB))
+            nA = tuple(jnp.take(scene.tri_na[:, c], tri) for c in range(3))
+            nB = tuple(jnp.take(scene.tri_nb[:, c], tri) for c in range(3))
+            nC = tuple(jnp.take(scene.tri_nc[:, c], tri) for c in range(3))
+            no_mesh = vec.add(vec.add(vec.scale(nA, tA), vec.scale(nB, tB)),
+                              vec.scale(nC, tC))
+        n_mesh = vec.normalize(
+            vec.sub(vec.apply_affine(mrows, vec.add(pl, no_mesh)), pg),
+            eps=1e-30)
+        n = vec.where(shape == CODE_MESH, n_mesh, n)
+
+    is_hit = shape >= 0
+    if prev is None:
+        zz = (z, z, z)
+        prev = (zz, zz)
+    return vec.where(is_hit, n, prev[0]), vec.where(is_hit, pg, prev[1])

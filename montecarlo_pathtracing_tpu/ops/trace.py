@@ -81,3 +81,125 @@ def trace(scene, O, D, *, use_pallas: bool = False,
 def hit_any(scene, O, D):
     """Occlusion query (just_hit_bvh analog): True where any prim is hit."""
     return trace(scene, O, D).shape >= 0
+
+
+# ---------------------------------------------------------------------------
+# SoA trace: the TPU-layout fast path (vec3 = tuple of [M] arrays, see
+# ops/vec.py). Same winners as trace(); used by the SoA integrator with
+# the Pallas kernels. M must be a multiple of pallas_trace.RAY_TILE.
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from . import vec
+from .intersect import FLT_MAX, CODE_MESH
+
+
+class HitS(NamedTuple):
+    """SoA closest-intersection record (Hit twin)."""
+    dist: jnp.ndarray
+    prim: jnp.ndarray
+    shape: jnp.ndarray
+    dircode: jnp.ndarray
+    tri: jnp.ndarray
+    pl: tuple       # vec3, local frame
+    pg: tuple       # vec3, world frame
+
+    @property
+    def is_hit(self):
+        return self.shape >= 0
+
+
+def _miss_soa(m):
+    z = jnp.zeros((m,), jnp.float32)
+    mi = jnp.full((m,), -1, jnp.int32)
+    return HitS(jnp.full((m,), FLT_MAX, jnp.float32), mi, mi, mi, mi,
+                (z, z, z), (z, z, z))
+
+
+def _better_soa(best: HitS, cand: HitS) -> HitS:
+    take = cand.dist < best.dist
+    return HitS(
+        jnp.where(take, cand.dist, best.dist),
+        jnp.where(take, cand.prim, best.prim),
+        jnp.where(take, cand.shape, best.shape),
+        jnp.where(take, cand.dircode, best.dircode),
+        jnp.where(take, cand.tri, best.tri),
+        vec.where(take, cand.pl, best.pl),
+        vec.where(take, cand.pg, best.pg),
+    )
+
+
+def trace_soa(scene, o, d, *, interpret: bool = False) -> HitS:
+    """Closest hit in SoA layout via the Pallas kernels. o, d: vec3 of
+    [M] with M a RAY_TILE multiple (pad with unit-z dummy rays)."""
+    from .pallas_trace import (
+        group_best_rows, mesh_best_rows, _pad_group, pad_tris)
+
+    m = o[0].shape[0]
+    o_rows = jnp.stack(o)
+    d_rows = jnp.stack(d)
+    best = _miss_soa(m)
+
+    for gi, code in enumerate(scene.group_codes):
+        inv_r, trf_r, pid = _pad_group(
+            scene.group_transfo[gi], scene.group_inv[gi],
+            scene.group_prim[gi])
+        dist, row, a, dircode = group_best_rows(
+            o_rows, d_rows, code, inv_r, trf_r, pid, interpret=interpret)
+        ok = row >= 0
+        r = jnp.where(ok, row, 0)
+        inv_g = jnp.take(inv_r, r, axis=1)     # [12, M]
+        trf_g = jnp.take(trf_r, r, axis=1)
+        pid_g = jnp.where(ok, jnp.take(pid[0], r), -1)
+        oi = vec.apply_affine(inv_g, o)
+        di = vec.normalize(vec.apply_linear(inv_g, d), eps=1e-30)
+        pl = vec.axpy(a, di, oi)
+        pg = vec.apply_affine(trf_g, pl)
+        cand = HitS(
+            jnp.where(ok, dist, FLT_MAX),
+            pid_g,
+            jnp.where(ok, code, -1).astype(jnp.int32),
+            dircode,
+            jnp.full((m,), -1, jnp.int32),
+            pl, pg,
+        )
+        best = _better_soa(best, cand)
+
+    for mi_, prim_index in enumerate(scene.mesh_prim_index):
+        off = scene.mesh_tri_offset[mi_]
+        cnt = scene.mesh_tri_padded[mi_]
+        inv = scene.inv_transfo[prim_index]
+        mtrf = scene.mesh_transfo[prim_index]
+        # single-matrix transform: scalar coefficients over [M] rows
+        oi = (inv[0, 0] * o[0] + inv[0, 1] * o[1] + inv[0, 2] * o[2] + inv[0, 3],
+              inv[1, 0] * o[0] + inv[1, 1] * o[1] + inv[1, 2] * o[2] + inv[1, 3],
+              inv[2, 0] * o[0] + inv[2, 1] * o[1] + inv[2, 2] * o[2] + inv[2, 3])
+        di = vec.normalize(
+            (inv[0, 0] * d[0] + inv[0, 1] * d[1] + inv[0, 2] * d[2],
+             inv[1, 0] * d[0] + inv[1, 1] * d[1] + inv[1, 2] * d[2],
+             inv[2, 0] * d[0] + inv[2, 1] * d[1] + inv[2, 2] * d[2]),
+            eps=1e-30)
+        tri = pad_tris(scene.tri_va[off:off + cnt],
+                       scene.tri_vb[off:off + cnt],
+                       scene.tri_vc[off:off + cnt])
+        a, row = mesh_best_rows(jnp.stack(oi), jnp.stack(di), tri,
+                                interpret=interpret)
+        ok = row >= 0
+        pl = vec.axpy(a, di, oi)
+        pg = (mtrf[0, 0] * pl[0] + mtrf[0, 1] * pl[1] + mtrf[0, 2] * pl[2] + mtrf[0, 3],
+              mtrf[1, 0] * pl[0] + mtrf[1, 1] * pl[1] + mtrf[1, 2] * pl[2] + mtrf[1, 3],
+              mtrf[2, 0] * pl[0] + mtrf[2, 1] * pl[1] + mtrf[2, 2] * pl[2] + mtrf[2, 3])
+        dist = vec.length(vec.sub(o, pg))
+        cand = HitS(
+            jnp.where(ok, dist, FLT_MAX),
+            jnp.where(ok, prim_index, -1).astype(jnp.int32),
+            jnp.where(ok, CODE_MESH, -1).astype(jnp.int32),
+            jnp.zeros((m,), jnp.int32),
+            jnp.where(ok, off + row, -1).astype(jnp.int32),
+            pl, pg,
+        )
+        best = _better_soa(best, cand)
+    return best
