@@ -39,13 +39,13 @@ def main():
         RenderConfig, Renderer)
 
     width, height, bounces = 800, 600, 3
-    ppc = 16                     # passes per jitted call (amortizes the
-    timed_calls = 4              # per-call dispatch latency of the tunnel)
-    timed_passes = ppc * timed_calls
+    warmup_passes, timed_passes = 2, 16
+    on_tpu = jax.devices()[0].platform == "tpu"
 
     dev = compile_scene(scenes.build("box_diffuse"))
     cfg = RenderConfig(width=width, height=height, nb_bounces=bounces,
-                       tile_rays=1 << 17, passes_per_call=ppc)
+                       tile_rays=1 << 17, passes_per_call=1,
+                       use_pallas=on_tpu)
     r = Renderer(dev, cfg)
 
     # NB: through the remote-TPU tunnel, block_until_ready alone does not
@@ -54,11 +54,13 @@ def main():
     def sync():
         return float(jnp.sum(r._acc))
 
-    r.run(ppc)          # warmup: compiles the batched multi-pass call
+    for _ in range(warmup_passes):
+        r.render_pass()
     sync()
 
     t0 = time.perf_counter()
-    r.run(ppc + timed_passes)
+    for _ in range(timed_passes):
+        r.render_pass()
     sync()
     dt = time.perf_counter() - t0
 

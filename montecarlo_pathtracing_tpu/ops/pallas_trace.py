@@ -41,7 +41,7 @@ from .intersect import (
 )
 from ..utils.transforms import normalize, PRECISION
 
-RAY_TILE = 512      # rays per kernel invocation (sublane-major [T, C])
+RAY_TILE = 1024     # rays per kernel invocation (sublane-major [T, C])
 PRIM_CHUNK = 128    # primitives per inner fold step (lane dim)
 
 
@@ -159,7 +159,7 @@ _SOA_FNS = {
 }
 
 
-def _group_kernel(shape_code, nchunks,
+def _group_kernel_plain(shape_code, nchunks,
                   o_ref, d_ref, inv_ref, trf_ref, pid_ref,
                   dist_ref, prim_ref, a_ref, dir_ref):
     """One ray tile vs all primitives of a homogeneous group."""
@@ -236,6 +236,113 @@ def _group_kernel(shape_code, nchunks,
     dir_ref[0, :] = bdir[:, 0]
 
 
+def _group_kernel_culled(shape_code, nchunks,
+                  o_ref, d_ref, inv_ref, trf_ref, pid_ref, cbb_ref,
+                  dist_ref, prim_ref, a_ref, dir_ref,
+                  bd_s, brow_s, ba_s, bdir_s):
+    """One ray tile vs all primitives of a homogeneous group.
+
+    Chunk culling: cbb_ref (SMEM [6, nchunks]) holds per-chunk world
+    AABBs (Morton-coherent, scene/device.py); a chunk is skipped when no
+    ray in the tile enters its box closer than that ray's current best
+    (rays must be unit-length world directions so the slab parameter IS
+    world distance). Conservative, so winners are unchanged — the TPU
+    frontier-culling answer to the reference's per-ray BVH stack walk.
+    The running best lives in VMEM scratch and the skip is a @pl.when
+    predicated block (a carry-passing lax.cond stalls the Mosaic
+    pipeline/compile).
+    """
+    fn = _SOA_FNS[shape_code]
+    # per-ray columns [T, 1]
+    ox, oy, oz = (o_ref[c, :][:, None] for c in range(3))
+    dx, dy, dz = (d_ref[c, :][:, None] for c in range(3))
+    rdx = 1.0 / dx
+    rdy = 1.0 / dy
+    rdz = 1.0 / dz
+
+    bd_s[:] = jnp.full_like(bd_s[:], FLT_MAX)
+    brow_s[:] = jnp.full_like(brow_s[:], -1)
+    ba_s[:] = jnp.zeros_like(ba_s[:])
+    bdir_s[:] = jnp.full_like(bdir_s[:], -1)
+
+    def chunk_body(c, _):
+        bd0 = bd_s[:]
+        t0x = (cbb_ref[0, c] - ox) * rdx
+        t1x = (cbb_ref[3, c] - ox) * rdx
+        t0y = (cbb_ref[1, c] - oy) * rdy
+        t1y = (cbb_ref[4, c] - oy) * rdy
+        t0z = (cbb_ref[2, c] - oz) * rdz
+        t1z = (cbb_ref[5, c] - oz) * rdz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z))
+        boxhit = (tmax >= tmin) & (tmin <= bd0)
+
+        @pl.when(jnp.any(boxhit))
+        def _():
+            s = pl.ds(c * PRIM_CHUNK, PRIM_CHUNK)
+            inv = [inv_ref[r, s][None, :] for r in range(12)]   # [1, C]
+            trf = [trf_ref[r, s][None, :] for r in range(12)]
+            pid = pid_ref[0, s][None, :]
+
+            # local-frame ray (affine inverse), direction normalized
+            lox = inv[0] * ox + inv[1] * oy + inv[2] * oz + inv[3]
+            loy = inv[4] * ox + inv[5] * oy + inv[6] * oz + inv[7]
+            loz = inv[8] * ox + inv[9] * oy + inv[10] * oz + inv[11]
+            tdx = inv[0] * dx + inv[1] * dy + inv[2] * dz
+            tdy = inv[4] * dx + inv[5] * dy + inv[6] * dz
+            tdz = inv[8] * dx + inv[9] * dy + inv[10] * dz
+            nrm = jnp.sqrt(tdx * tdx + tdy * tdy + tdz * tdz)
+            nrm = jnp.maximum(nrm, np.float32(1e-30))
+            ldx, ldy, ldz = tdx / nrm, tdy / nrm, tdz / nrm
+
+            a, valid, dircode = fn(lox, loy, loz, ldx, ldy, ldz)  # [T, C]
+            valid = valid & (pid >= 0)
+
+            # world hit point + world distance (the fold metric)
+            plx = lox + a * ldx
+            ply = loy + a * ldy
+            plz = loz + a * ldz
+            pgx = trf[0] * plx + trf[1] * ply + trf[2] * plz + trf[3]
+            pgy = trf[4] * plx + trf[5] * ply + trf[6] * plz + trf[7]
+            pgz = trf[8] * plx + trf[9] * ply + trf[10] * plz + trf[11]
+            ex, ey, ez = ox - pgx, oy - pgy, oz - pgz
+            dist = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+            dist = jnp.where(valid, dist, FLT_MAX)
+
+            # chunk winner via one-hot (first-min, matching jnp.argmin)
+            cmin = jnp.min(dist, axis=1, keepdims=True)           # [T, 1]
+            iota = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+            is_min = dist == cmin
+            first = jnp.min(jnp.where(is_min, iota, PRIM_CHUNK), axis=1,
+                            keepdims=True)
+            onehot = iota == first
+            zf = jnp.zeros_like(dist)
+            zi = jnp.zeros_like(dist, jnp.int32)
+            w_a = jnp.sum(jnp.where(onehot, a, zf), axis=1, keepdims=True)
+            w_row = first + c * PRIM_CHUNK                        # group row
+            w_dir = jnp.sum(jnp.where(onehot, dircode + zi, zi), axis=1,
+                            keepdims=True)
+
+            take = cmin < bd_s[:]                                 # [T, 1]
+            bd_s[:] = jnp.where(take, cmin, bd_s[:])
+            brow_s[:] = jnp.where(take, w_row, brow_s[:])
+            ba_s[:] = jnp.where(take, w_a, ba_s[:])
+            bdir_s[:] = jnp.where(take, w_dir, bdir_s[:])
+
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, chunk_body, 0)
+    bd = bd_s[:, 0]
+    dist_ref[0, :] = bd
+    prim_ref[0, :] = jnp.where(bd < FLT_MAX, brow_s[:, 0], -1)
+    a_ref[0, :] = ba_s[:, 0]
+    dir_ref[0, :] = bdir_s[:, 0]
+
+
 def _affine_rows(m):
     """[P,4,4] -> [12,P] affine rows (r00 r01 r02 tx r10..)."""
     r = m[:, :3, :4].reshape(m.shape[0], 12)
@@ -258,14 +365,23 @@ def _pad_group(transfo, inv, prim_idx):
     return inv_r, trf_r, pid
 
 
-def group_best_rows(o, d, shape_code, inv_r, trf_r, pid, interpret=False):
-    """SoA core: o, d [3, npad] ray rows (npad multiple of RAY_TILE),
-    padded prim tables from _pad_group. Returns (dist, row, a, dircode)
-    each [npad]; row is the GROUP row of the winner (-1 = miss)."""
+def group_best_rows(o, d, shape_code, inv_r, trf_r, pid, cbb=None,
+                    interpret=False):
+    """SoA core: o, d [3, npad] ray rows (npad multiple of RAY_TILE, UNIT
+    directions — required by the distance-based chunk culling), padded
+    prim tables from _pad_group, cbb [6, nchunks] world chunk AABBs (None
+    = no culling). Returns (dist, row, a, dircode) each [npad]; row is
+    the GROUP row of the winner (-1 = miss)."""
     npad = o.shape[1]
     ppad = inv_r.shape[1]
     grid = (npad // RAY_TILE,)
-    kernel = functools.partial(_group_kernel, shape_code, ppad // PRIM_CHUNK)
+    cull = cbb is not None
+    if not cull:
+        nkc = ppad // PRIM_CHUNK
+        cbb = jnp.tile(jnp.array([[-3e38]] * 3 + [[3e38]] * 3,
+                                 jnp.float32), (1, nkc))
+    kern_fn = _group_kernel_culled if cull else _group_kernel_plain
+    kernel = functools.partial(kern_fn, shape_code, ppad // PRIM_CHUNK)
     out_shape = [
         jax.ShapeDtypeStruct((1, npad), jnp.float32),
         jax.ShapeDtypeStruct((1, npad), jnp.int32),
@@ -278,16 +394,35 @@ def group_best_rows(o, d, shape_code, inv_r, trf_r, pid, interpret=False):
                           memory_space=pltpu.VMEM)
     full1 = pl.BlockSpec((1, ppad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
+    nchunks = ppad // PRIM_CHUNK
+    cbb_spec = pl.BlockSpec((6, nchunks), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    dist, row, a, dircode = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[ray_spec, ray_spec, full12, full12, full1],
-        out_specs=[out_spec] * 4,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(o, d, inv_r, trf_r, pid)
+    if cull:
+        dist, row, a, dircode = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[ray_spec, ray_spec, full12, full12, full1, cbb_spec],
+            out_specs=[out_spec] * 4,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((RAY_TILE, 1), jnp.float32),
+                pltpu.VMEM((RAY_TILE, 1), jnp.int32),
+                pltpu.VMEM((RAY_TILE, 1), jnp.float32),
+                pltpu.VMEM((RAY_TILE, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(o, d, inv_r, trf_r, pid, cbb)
+    else:
+        dist, row, a, dircode = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[ray_spec, ray_spec, full12, full12, full1],
+            out_specs=[out_spec] * 4,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(o, d, inv_r, trf_r, pid)
     return dist[0], row[0], a[0], dircode[0]
 
 

@@ -132,9 +132,14 @@ def _better_soa(best: HitS, cand: HitS) -> HitS:
     )
 
 
-def trace_soa(scene, o, d, *, interpret: bool = False) -> HitS:
+def trace_soa(scene, o, d, *, interpret: bool = False,
+              cull_chunks: bool = False) -> HitS:
     """Closest hit in SoA layout via the Pallas kernels. o, d: vec3 of
-    [M] with M a RAY_TILE multiple (pad with unit-z dummy rays)."""
+    [M] with M a RAY_TILE multiple (pad with unit-z dummy rays).
+
+    cull_chunks enables the SMEM chunk-AABB frontier culling kernel
+    (opt-in: its predicated body compiles very slowly through the remote
+    Mosaic pipeline; winners are identical either way)."""
     from .pallas_trace import (
         group_best_rows, mesh_best_rows, _pad_group, pad_tris)
 
@@ -144,11 +149,18 @@ def trace_soa(scene, o, d, *, interpret: bool = False) -> HitS:
     best = _miss_soa(m)
 
     for gi, code in enumerate(scene.group_codes):
+        if scene.group_prim[gi].shape[0] <= SMALL_GROUP_MAX:
+            best = _small_group_soa(
+                best, o, d, code, scene.group_transfo[gi],
+                scene.group_inv[gi], scene.group_prim[gi])
+            continue
         inv_r, trf_r, pid = _pad_group(
             scene.group_transfo[gi], scene.group_inv[gi],
             scene.group_prim[gi])
         dist, row, a, dircode = group_best_rows(
-            o_rows, d_rows, code, inv_r, trf_r, pid, interpret=interpret)
+            o_rows, d_rows, code, inv_r, trf_r, pid,
+            cbb=scene.group_chunk_bb[gi] if cull_chunks else None,
+            interpret=interpret)
         ok = row >= 0
         r = jnp.where(ok, row, 0)
         inv_g = jnp.take(inv_r, r, axis=1)     # [12, M]
@@ -199,6 +211,51 @@ def trace_soa(scene, o, d, *, interpret: bool = False) -> HitS:
             jnp.where(ok, CODE_MESH, -1).astype(jnp.int32),
             jnp.zeros((m,), jnp.int32),
             jnp.where(ok, off + row, -1).astype(jnp.int32),
+            pl, pg,
+        )
+        best = _better_soa(best, cand)
+    return best
+
+
+# Groups smaller than this use the scalar-coefficient XLA fold below
+# instead of the Pallas kernel (whose PRIM_CHUNK lane padding would waste
+# 128/P of the VPU on tiny groups).
+SMALL_GROUP_MAX = 96
+
+
+def _small_group_soa(best: HitS, o, d, code, trf, inv, pid) -> HitS:
+    """SoA fold over a SMALL analytic group: python loop over primitives,
+    per-prim scalar matrix coefficients broadcast over [M] ray rows —
+    fully XLA-fused, zero lane padding. Same winners/ordering as the
+    Pallas and dense paths (strictly-closer, group order)."""
+    from .pallas_trace import _SOA_FNS
+
+    fn = _SOA_FNS[code]
+    m = o[0].shape[0]
+    for i in range(trf.shape[0]):
+        iv = inv[i]
+        tf_ = trf[i]
+        oi = (iv[0, 0] * o[0] + iv[0, 1] * o[1] + iv[0, 2] * o[2] + iv[0, 3],
+              iv[1, 0] * o[0] + iv[1, 1] * o[1] + iv[1, 2] * o[2] + iv[1, 3],
+              iv[2, 0] * o[0] + iv[2, 1] * o[1] + iv[2, 2] * o[2] + iv[2, 3])
+        di = vec.normalize(
+            (iv[0, 0] * d[0] + iv[0, 1] * d[1] + iv[0, 2] * d[2],
+             iv[1, 0] * d[0] + iv[1, 1] * d[1] + iv[1, 2] * d[2],
+             iv[2, 0] * d[0] + iv[2, 1] * d[1] + iv[2, 2] * d[2]),
+            eps=1e-30)
+        a, valid, dircode = fn(oi[0], oi[1], oi[2], di[0], di[1], di[2])
+        valid = valid & (pid[i] >= 0)
+        pl = vec.axpy(a, di, oi)
+        pg = (tf_[0, 0] * pl[0] + tf_[0, 1] * pl[1] + tf_[0, 2] * pl[2] + tf_[0, 3],
+              tf_[1, 0] * pl[0] + tf_[1, 1] * pl[1] + tf_[1, 2] * pl[2] + tf_[1, 3],
+              tf_[2, 0] * pl[0] + tf_[2, 1] * pl[1] + tf_[2, 2] * pl[2] + tf_[2, 3])
+        dist = jnp.where(valid, vec.length(vec.sub(o, pg)), FLT_MAX)
+        cand = HitS(
+            dist,
+            jnp.where(valid, pid[i], -1).astype(jnp.int32),
+            jnp.where(valid, code, -1).astype(jnp.int32),
+            dircode,
+            jnp.full((m,), -1, jnp.int32),
             pl, pg,
         )
         best = _better_soa(best, cand)

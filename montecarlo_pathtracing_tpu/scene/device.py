@@ -47,6 +47,23 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _morton3(center, lo, hi) -> int:
+    """30-bit Morton code of a point within the scene bounds."""
+    span = np.maximum(hi - lo, 1e-12)
+    q = np.clip((center - lo) / span, 0.0, 1.0)
+    q = (q * 1023.0).astype(np.int64)
+
+    def spread(x):
+        x &= 0x3FF
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return int(spread(q[0]) | (spread(q[1]) << 1) | (spread(q[2]) << 2))
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class DeviceScene:
@@ -60,6 +77,7 @@ class DeviceScene:
     group_transfo: Tuple[jnp.ndarray, ...]   # each [P,4,4]
     group_inv: Tuple[jnp.ndarray, ...]       # each [P,4,4]
     group_prim: Tuple[jnp.ndarray, ...]      # each [P] i32, -1 pad
+    group_chunk_bb: Tuple[jnp.ndarray, ...]  # each [6, n_kernel_chunks]
     # --- mesh triangle pools (concatenated across instances) ---
     tri_va: jnp.ndarray         # [T,3] mesh-local corner A
     tri_vb: jnp.ndarray
@@ -108,12 +126,18 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
     centers, bbmin, bbmax = scene.all_prim_bbs()
     bvh = build_bvh(centers, bbmin, bbmax, use_native=use_native_bvh)
 
-    # typed analytic groups
-    group_codes, g_trf, g_inv, g_prim, g_chunk = [], [], [], [], []
+    # typed analytic groups. Prims inside a group are MORTON-ORDERED by
+    # world-AABB center so that contiguous kernel chunks are spatially
+    # coherent — the per-chunk AABBs below then cull effectively (the TPU
+    # answer to BVH traversal: chunk-level frontier culling instead of a
+    # divergent per-ray stack walk).
+    group_codes, g_trf, g_inv, g_prim, g_chunk, g_cbb = [], [], [], [], [], []
     for code in ANALYTIC_CODES:
         idx = [i for i, p in enumerate(scene.prims) if p.type == code]
         if not idx:
             continue
+        idx = sorted(idx, key=lambda i: _morton3(centers[i], bbmin.min(0),
+                                                 bbmax.max(0)))
         chunk = min(analytic_chunk, _round_up(len(idx), 8))
         pad = _round_up(len(idx), chunk)
         trf = np.zeros((pad, 4, 4), F32)
@@ -125,11 +149,25 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
             trf[k] = scene.prims[i].transfo
             inv[k] = scene.prims[i].inv_transfo
             pid[k] = i
+        # per-PRIM_CHUNK world AABBs (kernel culling granularity, 128)
+        kchunk = 128
+        kpad = _round_up(pad, kchunk)
+        nkc = kpad // kchunk
+        cbb = np.zeros((6, nkc), F32)
+        for c in range(nkc):
+            ids = [i for i in idx[c * kchunk:(c + 1) * kchunk]]
+            if ids:
+                cbb[0:3, c] = bbmin[ids].min(axis=0)
+                cbb[3:6, c] = bbmax[ids].max(axis=0)
+            else:   # padding-only chunk: empty box that nothing hits
+                cbb[0:3, c] = 1.0
+                cbb[3:6, c] = -1.0
         group_codes.append(code)
         g_trf.append(jnp.asarray(trf))
         g_inv.append(jnp.asarray(inv))
         g_prim.append(jnp.asarray(pid))
         g_chunk.append(chunk)
+        g_cbb.append(jnp.asarray(cbb))
 
     # mesh instances: pre-gather triangle corners/normals in mesh-local space
     mesh_prim_index, mesh_tri_offset, mesh_tri_padded = [], [], []
@@ -177,6 +215,7 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
         group_transfo=tuple(g_trf),
         group_inv=tuple(g_inv),
         group_prim=tuple(g_prim),
+        group_chunk_bb=tuple(g_cbb),
         tri_va=cat(va_l), tri_vb=cat(vb_l), tri_vc=cat(vc_l),
         tri_na=cat(na_l), tri_nb=cat(nb_l), tri_nc=cat(nc_l),
         bvh_bb_min=jnp.asarray(bvh.bb_min),

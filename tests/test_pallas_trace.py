@@ -128,3 +128,37 @@ def test_full_scene_trace_pallas_matches_dense():
     tie = np.isclose(np.asarray(dense.dist), np.asarray(fused.dist),
                      rtol=1e-6)
     assert (same | tie).all()
+
+
+def test_culled_kernel_matches_plain():
+    """The chunk-AABB culled kernel must produce identical winners to the
+    plain kernel (culling is conservative)."""
+    import jax.numpy as jnp
+    from montecarlo_pathtracing_tpu.ops.pallas_trace import (
+        group_best_rows, _pad_group, RAY_TILE)
+    code = xs.CODE_SPHERE
+    trf, inv, pid = _random_group(code, 200, 11)
+    O, D = _random_rays(RAY_TILE * 2, 12)
+    o = jnp.zeros((3, RAY_TILE * 2), jnp.float32).at[:, :].set(O.T)
+    d = jnp.zeros((3, RAY_TILE * 2), jnp.float32).at[:, :].set(D.T)
+    inv_r, trf_r, pidp = _pad_group(trf, inv, pid)
+    # chunk AABBs from the padded group (world boxes of the spheres)
+    import numpy as np
+    centers = np.asarray(trf)[:, :3, 3]
+    rad = np.abs(np.asarray(trf)[:, :3, :3]).sum(2).max(1) * 2.0
+    nkc = inv_r.shape[1] // 128
+    cbb = np.zeros((6, nkc), np.float32)
+    for c in range(nkc):
+        lo, hi = c * 128, min((c + 1) * 128, len(centers))
+        if lo < len(centers):
+            cbb[0:3, c] = (centers[lo:hi] - rad[lo:hi, None]).min(0)
+            cbb[3:6, c] = (centers[lo:hi] + rad[lo:hi, None]).max(0)
+        else:
+            cbb[0:3, c] = 1.0
+            cbb[3:6, c] = -1.0
+    plain = group_best_rows(o, d, code, inv_r, trf_r, pidp,
+                            cbb=None, interpret=True)
+    culled = group_best_rows(o, d, code, inv_r, trf_r, pidp,
+                             cbb=jnp.asarray(cbb), interpret=True)
+    np.testing.assert_array_equal(np.asarray(plain[1]), np.asarray(culled[1]))
+    np.testing.assert_array_equal(np.asarray(plain[0]), np.asarray(culled[0]))
