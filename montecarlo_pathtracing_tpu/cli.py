@@ -41,6 +41,14 @@ def _add_render_args(p):
                             "montecarlo_mat_tr"])
     p.add_argument("--flat-face", action="store_true",
                    help="flat mesh normals instead of smooth")
+    p.add_argument("--yaw", type=float, default=0.0,
+                   help="orbit yaw in degrees (trackball analog)")
+    p.add_argument("--pitch", type=float, default=0.0,
+                   help="orbit pitch in degrees")
+    p.add_argument("--zoom", type=float, default=1.0,
+                   help="camera distance scale (<1 closer, >1 farther)")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas trace kernels (TPU)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--devices", type=int, default=0,
                    help="shard rays over this many devices (0 = single)")
@@ -105,12 +113,16 @@ def main(argv=None):
         width=args.width, height=args.height, nb_bounces=args.bounces,
         subsampling=args.subsampling, refract_ind=args.ior,
         light_intensity=args.light, integrator=args.integrator,
-        flat_face=args.flat_face,
+        flat_face=args.flat_face, use_pallas=args.pallas,
     )
     t0 = time.time()
     dev = compile_scene(scenes.build(args.scene, args.light),
                         flat_face=args.flat_face)
-    r = Renderer(dev, cfg)
+    from .render.camera import default_rt_camera
+    proj, view = default_rt_camera(
+        cfg.render_width, cfg.render_height,
+        yaw=args.yaw, pitch=args.pitch, zoom=args.zoom)
+    r = Renderer(dev, cfg, proj, view)
     print(f"scene {args.scene}: {dev.nb_prims} prims "
           f"({dev.nb_emissives} emissive), compiled in {time.time()-t0:.2f}s",
           file=sys.stderr)

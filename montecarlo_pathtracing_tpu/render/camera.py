@@ -104,18 +104,23 @@ class Camera:
 
 def default_rt_camera(width: int, height: int,
                       center=(0.0, 0.0, 0.0), radius: float = 145.0,
-                      frame: np.ndarray | None = None):
+                      frame: np.ndarray | None = None,
+                      yaw: float = 0.0, pitch: float = 0.0,
+                      zoom: float = 1.0):
     """The path-tracer app's default camera (montecarlo.cpp:388-389,405):
     scene center origin, radius 145, view post-rotated by rotateX(-80).
+    yaw/pitch (degrees) and zoom orbit about the pivot — the headless
+    replacement for the GLViewer trackball (gl_viewer.cpp:241-330).
     Returns (proj, view) float32 4x4."""
     cam = Camera(
         scene_center=np.asarray(center, F32),
-        scene_radius=radius,
+        scene_radius=radius * zoom,
         aspect=width / height,
         frame=np.eye(4, dtype=F32) if frame is None else frame,
     )
     proj = cam.projection_matrix()
-    view = cam.view_matrix(extra=tf.rotate_x(-80))
+    view = cam.view_matrix(
+        extra=tf.rotate_x(-80.0 + pitch) @ tf.rotate_z(yaw))
     return proj, view
 
 

@@ -194,3 +194,60 @@ def load_obj(path: str) -> MeshGeometry:
                 for k in range(1, len(idx) - 1):
                     faces.append((idx[0], idx[k], idx[k + 1]))
     return _mesh(np.array(verts, F32), np.array(faces, np.int32))
+
+
+def load_ply(path: str) -> MeshGeometry:
+    """Minimal ASCII PLY parser (vertex x y z [nx ny nz], face lists),
+    polygons fan-triangulated; normals recomputed when absent."""
+    with open(path) as f:
+        line = f.readline().strip()
+        assert line == "ply", "not a ply file"
+        fmt = f.readline().strip()
+        assert "ascii" in fmt, "only ascii ply supported"
+        n_verts = n_faces = 0
+        props = []
+        in_vertex = False
+        while True:
+            line = f.readline().strip()
+            if line.startswith("comment"):
+                continue
+            if line.startswith("element vertex"):
+                n_verts = int(line.split()[-1])
+                in_vertex = True
+            elif line.startswith("element face"):
+                n_faces = int(line.split()[-1])
+                in_vertex = False
+            elif line.startswith("property") and in_vertex:
+                props.append(line.split()[-1])
+            elif line == "end_header":
+                break
+        xi, yi, zi = props.index("x"), props.index("y"), props.index("z")
+        has_n = "nx" in props
+        if has_n:
+            nxi, nyi, nzi = (props.index("nx"), props.index("ny"),
+                             props.index("nz"))
+        verts, norms = [], []
+        for _ in range(n_verts):
+            vals = [float(v) for v in f.readline().split()]
+            verts.append((vals[xi], vals[yi], vals[zi]))
+            if has_n:
+                norms.append((vals[nxi], vals[nyi], vals[nzi]))
+        faces = []
+        for _ in range(n_faces):
+            vals = [int(v) for v in f.readline().split()]
+            idx = vals[1:1 + vals[0]]
+            for k in range(1, len(idx) - 1):
+                faces.append((idx[0], idx[k], idx[k + 1]))
+    return _mesh(np.array(verts, F32), np.array(faces, np.int32),
+                 np.array(norms, F32) if norms else None)
+
+
+def load_mesh(path: str) -> MeshGeometry:
+    """Format-dispatching loader (Mesh::load analog, mesh.cpp:646-750:
+    the reference delegates to Assimp; here OBJ and PLY parsers)."""
+    lower = path.lower()
+    if lower.endswith(".obj"):
+        return load_obj(path)
+    if lower.endswith(".ply"):
+        return load_ply(path)
+    raise ValueError(f"unsupported mesh format: {path}")

@@ -119,3 +119,41 @@ def test_inverse_rendering_recovers_albedo(setup):
     got = np.asarray(p_fit.color[cube_prim, :3])
     want = np.asarray(p_true.color[cube_prim, :3])
     assert np.abs(got - want).max() < 0.15, (got, want)
+
+
+@pytest.mark.slow
+def test_grad_matches_cpu_oracle_fd(setup):
+    """Pixel-gradient parity vs the INDEPENDENT CPU oracle: central
+    finite differences of the oracle's render w.r.t. one albedo channel
+    must match the framework's AD gradient (the BASELINE 'pixel-grad
+    allclose vs CPU ref' metric). Identical RNG counters mean both sides
+    integrate the same paths, so FD noise cancels."""
+    from montecarlo_pathtracing_tpu.scene import scenes as sc
+    from montecarlo_pathtracing_tpu.testing.cpu_ref import CPUReference
+    from montecarlo_pathtracing_tpu.render.camera import default_rt_camera
+
+    w, h, spp, bounces = 12, 10, 1, 6
+    prims = sc.build("box_diffuse")
+    dev = compile_scene(prims)          # sorts emissives in place
+    proj, view = default_rt_camera(w, h)
+    origin, dirs, tc = camera_rays(proj, view, w, h)
+    dirs, tc = dirs.reshape(-1, 3), tc.reshape(-1, 2)
+
+    idx, ch = 1, 0   # a wall quad's red channel
+    g = pixel_grads(dev, params_of(dev), origin, dirs, tc,
+                    n_passes=spp, nb_bounces=bounces)
+    analytic = float(g.color[idx, ch])
+
+    eps = 2e-2
+    vals = []
+    for sign in (+1.0, -1.0):
+        oracle = CPUReference(prims)
+        old = prims.prims[idx].color[ch]
+        prims.prims[idx].color[ch] = np.float32(old + sign * eps)
+        img = oracle.render(proj, view, w, h, spp, bounces, 1.0)
+        prims.prims[idx].color[ch] = old
+        vals.append(float(img.mean()))
+    fd = (vals[0] - vals[1]) / (2 * eps)
+    assert analytic != 0.0
+    assert abs(analytic - fd) <= 0.15 * max(abs(fd), 1e-3), (
+        f"AD {analytic} vs oracle FD {fd}")
