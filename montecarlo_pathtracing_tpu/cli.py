@@ -38,7 +38,7 @@ def _add_render_args(p):
                    help="light intensity baked into emissive materials")
     p.add_argument("--integrator", default="montecarlo",
                    choices=["montecarlo", "montecarlo_mat",
-                            "montecarlo_mat_tr"])
+                            "montecarlo_mat_tr", "montecarlo_aos"])
     p.add_argument("--flat-face", action="store_true",
                    help="flat mesh normals instead of smooth")
     p.add_argument("--yaw", type=float, default=0.0,
