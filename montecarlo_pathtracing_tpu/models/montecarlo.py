@@ -138,18 +138,26 @@ def random_path_soa(scene, o, d, state, *, nb_bounces: int, refract_ind,
             state, vec.reflect(d, N), 1.0 - shin * rough, cont & choose_refl)
         rray = maybe_detach(rray)
 
-        # refraction inner re-trace (:146-153; mixed keeps un-refracted D)
-        d_inner = vec.where(cont & refr_case,
-                            vec.refract_glsl(d, N, refract_ind), d)
-        d_inner = vec.where(refr_lane, d_inner, unit_z)
-        o_inner = vec.where(refr_lane,
-                            vec.sub(P, vec.scale(N, BIAS)), o)
-        hit2 = _trace_dispatch(scene, o_inner, d_inner, use_pallas,
-                               pallas_interpret)
-        n2_raw, p2_raw = intersection_info_soa(scene, hit2, prev=(N, P))
-        N2 = vec.where(refr_lane, n2_raw, unit_z)
-        P2 = vec.where(refr_lane, p2_raw, P)
-        d_exit = vec.refract_glsl(d_inner, vec.neg(N2), 1.0 / refract_ind)
+        # refraction inner re-trace (:146-153; mixed keeps un-refracted D).
+        # When the scene has NO transparent material (every alpha == 1,
+        # static at compile), refr_lane is identically false and the whole
+        # second trace is elided — ~2x per-pass speedup on opaque scenes.
+        if scene.has_transparent:
+            d_inner = vec.where(cont & refr_case,
+                                vec.refract_glsl(d, N, refract_ind), d)
+            d_inner = vec.where(refr_lane, d_inner, unit_z)
+            o_inner = vec.where(refr_lane,
+                                vec.sub(P, vec.scale(N, BIAS)), o)
+            hit2 = _trace_dispatch(scene, o_inner, d_inner, use_pallas,
+                                   pallas_interpret)
+            n2_raw, p2_raw = intersection_info_soa(scene, hit2, prev=(N, P))
+            N2 = vec.where(refr_lane, n2_raw, unit_z)
+            P2 = vec.where(refr_lane, p2_raw, P)
+            d_exit = vec.refract_glsl(d_inner, vec.neg(N2),
+                                      1.0 / refract_ind)
+        else:
+            N2, P2 = N, P
+            d_exit = unit_z
 
         # attenuation updates (:142,147,161,170)
         base = vec.mul(col3, attenu)
