@@ -1,0 +1,85 @@
+"""Full benchmark sweep: every demo scene + the BASELINE.json configs.
+
+Writes benchmarks/report.json with per-scene rays/s, spp/s and image
+statistics. The headline single-number benchmark stays in /bench.py (the
+driver contract); this script is the complete picture.
+
+  python benchmarks/run_all.py [--cpu] [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny sizes (smoke mode)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from montecarlo_pathtracing_tpu.scene import scenes
+    from montecarlo_pathtracing_tpu.scene.device import compile_scene
+    from montecarlo_pathtracing_tpu.render.renderer import (
+        RenderConfig, Renderer)
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if args.quick:
+        w, h, passes, bounces = 64, 48, 4, 3
+    else:
+        w, h, passes, bounces = 800, 600, 16, 3
+
+    report = {
+        "platform": jax.devices()[0].platform,
+        "config": {"width": w, "height": h, "passes": passes,
+                   "bounces": bounces, "use_pallas": on_tpu},
+        "scenes": {},
+    }
+    for name in scenes.SCENES:
+        try:
+            dev = compile_scene(scenes.build(name))
+            r = Renderer(dev, RenderConfig(
+                width=w, height=h, nb_bounces=bounces,
+                tile_rays=1 << 17, use_pallas=on_tpu))
+            t0 = time.perf_counter()
+            r.render_pass()
+            float(jnp.sum(r._acc))          # tunnel-safe sync
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(passes):
+                r.render_pass()
+            float(jnp.sum(r._acc))
+            dt = time.perf_counter() - t0
+            img = r.image()
+            report["scenes"][name] = {
+                "prims": dev.nb_prims,
+                "compile_s": round(compile_s, 2),
+                "rays_per_s": round(w * h * passes * bounces / dt, 1),
+                "spp_per_s": round(passes / dt, 2),
+                "img_mean": round(float(img.mean()), 5),
+            }
+            print(name, report["scenes"][name], flush=True)
+        except Exception as e:                      # keep sweeping
+            report["scenes"][name] = {"error": str(e)[:200]}
+            print(name, "ERROR", e, flush=True)
+
+    out = args.out or os.path.join(os.path.dirname(__file__), "report.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -114,6 +114,7 @@ def main(argv=None):
         subsampling=args.subsampling, refract_ind=args.ior,
         light_intensity=args.light, integrator=args.integrator,
         flat_face=args.flat_face, use_pallas=args.pallas,
+        shard_devices=args.devices,
     )
     t0 = time.time()
     dev = compile_scene(scenes.build(args.scene, args.light),

@@ -50,6 +50,7 @@ class RenderConfig:
     detach_sampling: bool = False
     use_pallas: bool = False     # fused VMEM trace kernel (TPU)
     passes_per_call: int = 8     # passes folded into one jitted call
+    shard_devices: int = 0       # >1: shard rays over a device mesh
     tile_rays: int = 1 << 16
 
     @property
@@ -92,6 +93,16 @@ class Renderer:
         self._origin = origin
         self._dirs = d.reshape(self._ntiles, self._tile, 3)
         self._tc = t.reshape(self._ntiles, self._tile, 2)
+        self._sharding = None
+        if config.shard_devices > 1:
+            # pixel/ray DP: shard the within-tile ray axis over the mesh;
+            # GSPMD partitions the megakernel with zero collectives
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.sharding import make_mesh
+            mesh = make_mesh(config.shard_devices)
+            self._sharding = NamedSharding(mesh, P(None, "rays", None))
+            self._dirs = jax.device_put(self._dirs, self._sharding)
+            self._tc = jax.device_put(self._tc, self._sharding)
         self._integrator = get_integrator(config.integrator)
         self._pass_fn = self._build_pass_fn(1)
         self._multi_fn = None   # built lazily for batched runs
@@ -148,7 +159,8 @@ class Renderer:
     def reset(self):
         """Camera move / slider / scene switch analog: clear the FBO and
         pass counter (montecarlo.cpp:238-246)."""
-        self._acc = jnp.zeros((self._ntiles, self._tile, 3), jnp.float32)
+        self._acc = jnp.zeros((self._ntiles, self._tile, 3), jnp.float32,
+                              device=self._sharding)
         self.nb_passes = 0
 
     def render_pass(self):

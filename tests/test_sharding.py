@@ -67,3 +67,16 @@ def test_two_device_mesh_also_works(setup):
                         mesh, jax.sharding.PartitionSpec("rays")))
     acc = fn(dev, acc, sdirs, stc, origin, jnp.int32(1), jnp.float32(1.0))
     assert np.isfinite(np.asarray(acc)).all()
+
+
+def test_renderer_shard_devices_matches_single(setup):
+    """Renderer(shard_devices=8) must produce the identical image."""
+    from montecarlo_pathtracing_tpu.render.renderer import (
+        RenderConfig, Renderer)
+    dev, *_ = setup
+    base = Renderer(dev, RenderConfig(width=32, height=16, nb_bounces=3))
+    img0 = base.run(2)
+    sharded = Renderer(dev, RenderConfig(width=32, height=16, nb_bounces=3,
+                                         shard_devices=8))
+    img1 = sharded.run(2)
+    np.testing.assert_array_equal(img0, img1)
