@@ -33,6 +33,9 @@ TARGET_RAYS_PER_S = 30e6  # 10x an llvmpipe-class software renderer
 
 
 def main():
+    from montecarlo_pathtracing_tpu.utils.profiling import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     from montecarlo_pathtracing_tpu.scene import scenes
     from montecarlo_pathtracing_tpu.scene.device import compile_scene
     from montecarlo_pathtracing_tpu.render.renderer import (

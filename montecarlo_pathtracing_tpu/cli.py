@@ -55,6 +55,8 @@ def _add_render_args(p):
 
 
 def main(argv=None):
+    from .utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(prog="montecarlo_pathtracing_tpu",
                                  description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)

@@ -196,12 +196,28 @@ def random_path_soa(scene, o, d, state, *, nb_bounces: int, refract_ind,
 
 def raytrace(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
              refract_ind, date=0.0, detach_sampling: bool = False,
-             use_pallas: bool = False, pallas_interpret: bool = False):
+             use_pallas: bool = False, pallas_interpret: bool = False,
+             use_megakernel: bool | None = None):
     """tp/montecarlo.frag:182-188: srand + one random path per lane.
 
     AoS boundary: O [3], D [N,3], screen_tc [N,2] in; rgb [N,3] out. Rays
     are padded to the Pallas RAY_TILE internally when use_pallas.
+
+    use_megakernel: None = auto — when the fast path is requested
+    (use_pallas), gradients are not (detach_sampling off), and the scene
+    is analytic + small enough for the SMEM prim table, the whole pass
+    runs as ONE fused Pallas kernel (models/megakernel.py) instead of the
+    trace-kernel + XLA-shading pipeline (~20x less HBM traffic per pass).
     """
+    if use_megakernel is None:
+        from .megakernel import mega_eligible
+        use_megakernel = (use_pallas and not detach_sampling
+                          and mega_eligible(scene))
+    if use_megakernel:
+        from .megakernel import raytrace_mega
+        return raytrace_mega(
+            scene, O, D, screen_tc, pass_index, nb_bounces=nb_bounces,
+            refract_ind=refract_ind, date=date, interpret=pallas_interpret)
     n = D.shape[0]
     pad = n
     if use_pallas:

@@ -71,3 +71,29 @@ def timed_block(fn, *args, sync=True):
     if sync:
         out = jax.block_until_ready(out)
     return out, time.perf_counter() - t0
+
+
+def enable_compilation_cache(path: str | None = None,
+                             min_compile_secs: float = 2.0) -> None:
+    """Persistent XLA/Mosaic compilation cache, shared across processes.
+
+    The whole-path megakernel takes minutes to compile through the remote
+    Mosaic pipeline; with the cache the second process loads it in
+    milliseconds. Called by every entry point (bench.py, the CLI,
+    __graft_entry__). Opt out with MCPT_NO_COMPILE_CACHE=1.
+    """
+    import os
+
+    if os.environ.get("MCPT_NO_COMPILE_CACHE"):
+        return
+    if path is None:
+        path = os.environ.get(
+            "MCPT_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(min_compile_secs))
+    except Exception:
+        pass  # older jax without the knobs: cache is an optimization only

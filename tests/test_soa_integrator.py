@@ -45,6 +45,7 @@ def test_soa_pallas_interpret_matches_dense():
                           nb_bounces=4, refract_ind=jnp.float32(1.3)))
     fused = np.asarray(soa(dev, origin, dirs, tc, jnp.int32(0),
                            nb_bounces=4, refract_ind=jnp.float32(1.3),
-                           use_pallas=True, pallas_interpret=True))
+                           use_pallas=True, pallas_interpret=True,
+                           use_megakernel=False))
     close = np.all(np.abs(base - fused) <= 1e-3 + 1e-3 * np.abs(base), -1)
     assert close.mean() > 0.97, close.mean()
