@@ -45,6 +45,13 @@ def main():
     warmup_passes, timed_passes = 2, 16
     on_tpu = jax.devices()[0].platform == "tpu"
 
+    if on_tpu:
+        # real-compile smoke of every Pallas kernel BEFORE timing: a
+        # Mosaic regression fails here with the kernel's name instead of
+        # poisoning the benchmark (round-1 lesson — VERDICT.md Weak #1-3).
+        from montecarlo_pathtracing_tpu.testing.tpu_smoke import run_smoke
+        run_smoke()
+
     dev = compile_scene(scenes.build("box_diffuse"))
     cfg = RenderConfig(width=width, height=height, nb_bounces=bounces,
                        tile_rays=1 << 17, passes_per_call=1,

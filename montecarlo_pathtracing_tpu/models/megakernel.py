@@ -297,9 +297,13 @@ def _mega_kernel(groups, nb_bounces, has_transparent,
     attenu = (z + 0.8, z + 0.8, z + 0.8)   # vec3(0.8) (:106-107)
     total = (z, z, z)
     result = (z, z, z)
-    done = jnp.zeros_like(d[0], bool)
+    # Mosaic cannot legalize i1 vector loop carries through scf.for
+    # (round-1 bench failure: "failed to legalize operation 'scf.for'"),
+    # so `done` rides the carry as int32 and is compared at use sites.
+    done_i = jnp.zeros_like(d[0], jnp.int32)
 
-    def bounce(o, d, attenu, total, result, done, state):
+    def bounce(o, d, attenu, total, result, done_i, state):
+        done = done_i != 0
         is_hit, N, P, shin, rough, emis, col3, alpha = _trace_fold(
             groups, tab_ref, o, d, unit_z,
             (o[0] + d[0], o[1] + d[1], o[2] + d[2]))
@@ -402,16 +406,17 @@ def _mega_kernel(groups, nb_bounces, has_transparent,
         o = _vwhere(cont, new_o, o)
         d = _vwhere(cont, new_d, d)
         attenu = _vwhere(cont, new_attenu, attenu)
-        return o, d, attenu, total, result, done, state
+        return o, d, attenu, total, result, done.astype(jnp.int32), state
 
     # lax.fori_loop (not a static unroll): the body is bounce-invariant,
     # and program size drives the Mosaic compile time of this kernel
-    carry = (o, d, attenu, total, result, done, state)
+    carry = (o, d, attenu, total, result, done_i, state)
     carry = jax.lax.fori_loop(0, nb_bounces,
                               lambda _, c: bounce(*c), carry)
-    o, d, attenu, total, result, done, state = carry
+    o, d, attenu, total, result, done_i, state = carry
 
     # bounce-cap exhaustion returns black (:178)
+    done = done_i != 0
     r_ref[...] = jnp.where(done, result[0], 0.0)
     g_ref[...] = jnp.where(done, result[1], 0.0)
     b_ref[...] = jnp.where(done, result[2], 0.0)

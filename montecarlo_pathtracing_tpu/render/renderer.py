@@ -18,8 +18,10 @@ while the megakernel is compiled once.
 """
 from __future__ import annotations
 
+import inspect
 import json
 import os
+import sys
 from dataclasses import dataclass, asdict, replace
 from functools import partial
 
@@ -49,6 +51,7 @@ class RenderConfig:
     flat_face: bool = False
     detach_sampling: bool = False
     use_pallas: bool = False     # fused VMEM trace kernel (TPU)
+    use_megakernel: bool | None = None  # None = auto-route (montecarlo.py)
     passes_per_call: int = 8     # passes folded into one jitted call
     shard_devices: int = 0       # >1: shard rays over a device mesh
     tile_rays: int = 1 << 16
@@ -64,6 +67,23 @@ class RenderConfig:
 
 def _round_up(n, m):
     return ((n + m - 1) // m) * m
+
+
+# Messages that identify a Pallas/Mosaic kernel-compilation failure (as
+# opposed to a user error): these, and only these, trigger the fallback
+# chain. The reference analog is the shader-compile error path
+# (shader_program.cpp:95-169, 309-320) where a failed compile degrades
+# instead of killing the app.
+_KERNEL_ERROR_MARKERS = (
+    "Mosaic", "mosaic", "failed to legalize", "Pallas", "pallas",
+    "RESOURCE_EXHAUSTED", "XLA:TPU compile",
+    "Only interpret mode is supported",  # Pallas on a CPU-only backend
+)
+
+
+def _is_kernel_compile_error(e: BaseException) -> bool:
+    msg = f"{type(e).__name__}: {e}"
+    return any(m in msg for m in _KERNEL_ERROR_MARKERS)
 
 
 class Renderer:
@@ -104,8 +124,27 @@ class Renderer:
             self._dirs = jax.device_put(self._dirs, self._sharding)
             self._tc = jax.device_put(self._tc, self._sharding)
         self._integrator = get_integrator(config.integrator)
+        # Kernel fallback chain (shader_program.cpp:95-169 analog): if a
+        # Pallas/Mosaic compile fails at call time, degrade one level and
+        # retry instead of killing the render. Level 0 is the configured
+        # route; the last level is the always-compilable dense XLA path.
+        levels = []
+        if config.use_pallas:
+            if config.use_megakernel is not False:
+                levels.append(("pallas-megakernel(auto)",
+                               dict(use_pallas=True, use_megakernel=None)))
+            levels.append(("pallas-trace",
+                           dict(use_pallas=True, use_megakernel=False)))
+        levels.append(("dense-xla",
+                       dict(use_pallas=False, use_megakernel=False)))
+        if config.use_megakernel:
+            levels.insert(0, ("pallas-megakernel(forced)",
+                              dict(use_pallas=True, use_megakernel=True)))
+        self._levels = tuple(levels)
+        self._level = 0
         self._pass_fn = self._build_pass_fn(1)
         self._multi_fn = None   # built lazily for batched runs
+        self._multi_n = None
         self.reset()
 
     # -- pass compilation --------------------------------------------------
@@ -121,6 +160,9 @@ class Renderer:
         cfg = self.config
         integrator = self._integrator
         ntiles = self._ntiles
+        route = dict(self._levels[self._level][1])
+        params = inspect.signature(integrator).parameters
+        kw = {k: v for k, v in route.items() if k in params}
 
         def multi_pass(scene, acc, dirs, tc, origin, base_pass, refract_ind):
             def tile_fn(args):
@@ -129,7 +171,7 @@ class Renderer:
                     scene, origin, d, t, base_pass + poff,
                     nb_bounces=cfg.nb_bounces, refract_ind=refract_ind,
                     date=cfg.date, detach_sampling=cfg.detach_sampling,
-                    use_pallas=cfg.use_pallas)
+                    **kw)
 
             if n_passes == 1:
                 poffs = jnp.zeros((ntiles,), jnp.int32)
@@ -154,6 +196,44 @@ class Renderer:
 
         return jax.jit(multi_pass, donate_argnums=(1,))
 
+    # -- kernel-compile fallback (Mosaic-error UX) --------------------------
+
+    def _degrade(self, err: BaseException):
+        """Report a kernel compile failure and rebuild the pass functions
+        one fallback level down — the analog of the reference's highlighted
+        shader-error printer + graceful degrade."""
+        old = self._levels[self._level][0]
+        self._level += 1
+        new = self._levels[self._level][0]
+        cfg = self.config
+        first_line = str(err).strip().splitlines()[0][:300]
+        print(
+            f"[montecarlo-tpu] kernel compile FAILED on route '{old}' "
+            f"(integrator={cfg.integrator}, "
+            f"{cfg.render_width}x{cfg.render_height}, "
+            f"bounces={cfg.nb_bounces}, "
+            f"prims={self.scene.nb_prims}, tile={self._tile}): "
+            f"{type(err).__name__}: {first_line}\n"
+            f"[montecarlo-tpu] falling back to route '{new}'",
+            file=sys.stderr)
+        self._pass_fn = self._build_pass_fn(1)
+        if self._multi_n is not None:
+            self._multi_fn = self._build_pass_fn(self._multi_n)
+
+    def _invoke(self, which: str, *args):
+        """Run a jitted pass fn; on Mosaic/Pallas compile failure, degrade
+        a level and retry (donation only consumes inputs once execution
+        starts, so the accumulator survives a failed compile)."""
+        while True:
+            fn = self._pass_fn if which == "single" else self._multi_fn
+            try:
+                return fn(*args)
+            except Exception as e:  # noqa: BLE001 — filtered below
+                if (self._level + 1 >= len(self._levels)
+                        or not _is_kernel_compile_error(e)):
+                    raise
+                self._degrade(e)
+
     # -- accumulation protocol --------------------------------------------
 
     def reset(self):
@@ -167,7 +247,8 @@ class Renderer:
         """One progressive pass (paths_per_pass sub-passes, each with its
         own pass index — montecarlo.cpp:454-466)."""
         for _ in range(self.config.paths_per_pass):
-            self._acc = self._pass_fn(
+            self._acc = self._invoke(
+                "single",
                 self.scene, self._acc, self._dirs, self._tc, self._origin,
                 jnp.int32(self.nb_passes),
                 jnp.float32(self.config.refract_ind))
@@ -178,8 +259,10 @@ class Renderer:
         ppc = max(1, self.config.passes_per_call)
         while self.nb_passes + ppc <= spp and self.config.paths_per_pass == 1:
             if self._multi_fn is None:
+                self._multi_n = ppc
                 self._multi_fn = self._build_pass_fn(ppc)
-            self._acc = self._multi_fn(
+            self._acc = self._invoke(
+                "multi",
                 self.scene, self._acc, self._dirs, self._tc, self._origin,
                 jnp.int32(self.nb_passes),
                 jnp.float32(self.config.refract_ind))

@@ -1,0 +1,129 @@
+"""Real-compile smoke tests for every Pallas kernel.
+
+Round 1 shipped a megakernel whose Mosaic compile failed on actual TPU
+hardware while every test passed, because all Pallas tests ran with
+interpret=True — interpret mode validates semantics, not Mosaic legality.
+This module runs each kernel at the smallest legal shape through the REAL
+compile pipeline (interpret=False) on whatever platform JAX selected.
+
+Used two ways:
+  * bench.py calls run_smoke() before timing, so a Mosaic regression
+    fails loudly with a kernel name instead of poisoning the benchmark;
+  * tests/test_tpu_compile.py runs it under pytest when a TPU is visible
+    (it is skipped on the CPU-forced test mesh, where interpret-mode
+    parity tests already cover semantics).
+
+Each entry returns a short status line; failures raise with the kernel
+name prefixed (the analog of the reference's named shader compile errors,
+easycppogl/shader_program.cpp:95-169).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _smoke_group_plain():
+    from ..ops.pallas_trace import (
+        group_best_rows, _pad_group, RAY_TILE)
+    from ..ops.intersect import CODE_SPHERE
+    n = RAY_TILE
+    o = jnp.zeros((3, n), jnp.float32)
+    d = jnp.zeros((3, n), jnp.float32).at[2].set(1.0)
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (1, 4, 4))
+    inv_r, trf_r, pid = _pad_group(eye, eye, jnp.zeros((1,), jnp.int32))
+    dist, row, a, _ = group_best_rows(o, d, CODE_SPHERE, inv_r, trf_r, pid)
+    jax.block_until_ready(dist)
+
+
+def _smoke_group_culled():
+    from ..ops.pallas_trace import (
+        group_best_rows, _pad_group, RAY_TILE, PRIM_CHUNK)
+    from ..ops.intersect import CODE_SPHERE
+    n = RAY_TILE
+    o = jnp.zeros((3, n), jnp.float32)
+    d = jnp.zeros((3, n), jnp.float32).at[2].set(1.0)
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (1, 4, 4))
+    inv_r, trf_r, pid = _pad_group(eye, eye, jnp.zeros((1,), jnp.int32))
+    nchunks = inv_r.shape[1] // PRIM_CHUNK
+    cbb = jnp.tile(jnp.array([[-2.0]] * 3 + [[2.0]] * 3, jnp.float32),
+                   (1, nchunks))
+    dist, row, a, _ = group_best_rows(o, d, CODE_SPHERE, inv_r, trf_r, pid,
+                                      cbb=cbb)
+    jax.block_until_ready(dist)
+
+
+def _smoke_mesh():
+    from ..ops.pallas_trace import mesh_best_rows, pad_tris, RAY_TILE
+    n = RAY_TILE
+    o = jnp.zeros((3, n), jnp.float32)
+    d = jnp.zeros((3, n), jnp.float32).at[2].set(1.0)
+    va = jnp.array([[-1.0, -1.0, 2.0]], jnp.float32)
+    vb = jnp.array([[1.0, -1.0, 2.0]], jnp.float32)
+    vc = jnp.array([[0.0, 1.0, 2.0]], jnp.float32)
+    a, row = mesh_best_rows(o, d, pad_tris(va, vb, vc))
+    jax.block_until_ready(a)
+
+
+def _smoke_megakernel():
+    from ..scene import scenes
+    from ..scene.device import compile_scene
+    from ..models.megakernel import raytrace_mega, TILE_ROWS, LANES
+    dev = compile_scene(scenes.build("box_diffuse"))
+    n = TILE_ROWS * LANES
+    D = jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0)
+    tc = jnp.zeros((n, 2), jnp.float32)
+    O = jnp.zeros((3,), jnp.float32)
+    rgb = raytrace_mega(dev, O, D, tc, 0, nb_bounces=2, refract_ind=1.0)
+    jax.block_until_ready(rgb)
+
+
+def _smoke_megakernel_transparent():
+    # the refraction inner re-trace doubles the fold count — compile it too
+    from ..scene import scenes
+    from ..scene.device import compile_scene
+    from ..models.megakernel import raytrace_mega, TILE_ROWS, LANES
+    dev = compile_scene(scenes.build("box_balls"))
+    n = TILE_ROWS * LANES
+    D = jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0)
+    tc = jnp.zeros((n, 2), jnp.float32)
+    O = jnp.zeros((3,), jnp.float32)
+    rgb = raytrace_mega(dev, O, D, tc, 0, nb_bounces=2, refract_ind=1.3)
+    jax.block_until_ready(rgb)
+
+
+SMOKES = (
+    ("group_best_rows", _smoke_group_plain),
+    ("group_best_rows[culled]", _smoke_group_culled),
+    ("mesh_best_rows", _smoke_mesh),
+    ("megakernel", _smoke_megakernel),
+    ("megakernel[transparent]", _smoke_megakernel_transparent),
+)
+
+
+def run_smoke(verbose: bool = True) -> list:
+    """Compile + run every Pallas kernel at tiny shapes on the current
+    backend. Raises RuntimeError naming the first failing kernel."""
+    results = []
+    for name, fn in SMOKES:
+        t0 = time.perf_counter()
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — re-raised with kernel name
+            raise RuntimeError(
+                f"Pallas kernel {name!r} failed to compile/run on "
+                f"{jax.devices()[0].platform}: "
+                f"{type(e).__name__}: {str(e).splitlines()[0][:300]}"
+            ) from e
+        dt = time.perf_counter() - t0
+        results.append((name, dt))
+        if verbose:
+            import sys
+            print(f"# smoke {name}: ok ({dt:.2f}s)", file=sys.stderr)
+    return results
+
+
+if __name__ == "__main__":
+    run_smoke()
