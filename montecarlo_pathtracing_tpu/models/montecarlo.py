@@ -42,10 +42,11 @@ def sky_color_soa(d):
                  for lo, hi in zip(SKY_LOW, SKY_HIGH))
 
 
-def _trace_dispatch(scene, o, d, use_pallas, interpret):
+def _trace_dispatch(scene, o, d, use_pallas, interpret, cull_chunks=None):
     """SoA closest hit: Pallas kernels on TPU, dense XLA fold otherwise."""
     if use_pallas:
-        return trace_soa(scene, o, d, interpret=interpret)
+        return trace_soa(scene, o, d, interpret=interpret,
+                         cull_chunks=cull_chunks)
     hit = trace(scene, vec.to_aos(o), vec.to_aos(d))
     return HitS(hit.dist, hit.prim, hit.shape, hit.dircode, hit.tri,
                 vec.from_aos(hit.pl), vec.from_aos(hit.pg))
@@ -53,7 +54,8 @@ def _trace_dispatch(scene, o, d, use_pallas, interpret):
 
 def random_path_soa(scene, o, d, state, *, nb_bounces: int, refract_ind,
                     detach_sampling: bool = False, use_pallas: bool = False,
-                    pallas_interpret: bool = False):
+                    pallas_interpret: bool = False,
+                    cull_chunks: bool | None = None):
     """One path per lane, SoA. o, d: vec3 of [N] (d normalized), state:
     (s0, s1, s2) uint32 [N]. Returns (rgb vec3, state)."""
     n = d[0].shape[0]
@@ -74,7 +76,8 @@ def random_path_soa(scene, o, d, state, *, nb_bounces: int, refract_ind,
     def bounce(i, carry):
         o, d, attenu, total, result, done, state = carry
         del i
-        hit = _trace_dispatch(scene, o, d, use_pallas, pallas_interpret)
+        hit = _trace_dispatch(scene, o, d, use_pallas, pallas_interpret,
+                              cull_chunks)
 
         active = ~done
         is_hit = hit.shape >= 0
@@ -149,7 +152,7 @@ def random_path_soa(scene, o, d, state, *, nb_bounces: int, refract_ind,
             o_inner = vec.where(refr_lane,
                                 vec.sub(P, vec.scale(N, BIAS)), o)
             hit2 = _trace_dispatch(scene, o_inner, d_inner, use_pallas,
-                                   pallas_interpret)
+                                   pallas_interpret, cull_chunks)
             n2_raw, p2_raw = intersection_info_soa(scene, hit2, prev=(N, P))
             N2 = vec.where(refr_lane, n2_raw, unit_z)
             P2 = vec.where(refr_lane, p2_raw, P)
@@ -197,7 +200,8 @@ def random_path_soa(scene, o, d, state, *, nb_bounces: int, refract_ind,
 def raytrace(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
              refract_ind, date=0.0, detach_sampling: bool = False,
              use_pallas: bool = False, pallas_interpret: bool = False,
-             use_megakernel: bool | None = None):
+             use_megakernel: bool | None = None,
+             cull_chunks: bool | None = None):
     """tp/montecarlo.frag:182-188: srand + one random path per lane.
 
     AoS boundary: O [3], D [N,3], screen_tc [N,2] in; rgb [N,3] out. Rays
@@ -239,5 +243,5 @@ def raytrace(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
         scene, o, (dx, dy, dz), state,
         nb_bounces=nb_bounces, refract_ind=refract_ind,
         detach_sampling=detach_sampling, use_pallas=use_pallas,
-        pallas_interpret=pallas_interpret)
+        pallas_interpret=pallas_interpret, cull_chunks=cull_chunks)
     return vec.to_aos(rgb)[:n]

@@ -236,6 +236,18 @@ def _group_kernel_plain(shape_code, nchunks,
     dir_ref[0, :] = bdir[:, 0]
 
 
+def _safe_rcp(x):
+    """1/x with exact-zero components clamped to a huge FINITE value so the
+    slab test below never produces inf*0 = NaN (bounce rays can carry exact
+    zeros: TIR refract returns vec3(0), padded lanes ride unit-z). NaN in a
+    slab bound would silently cull a chunk a degenerate ray 'hits'; huge
+    finite bounds stay conservative instead."""
+    tiny = np.float32(1e-30)
+    ax = jnp.abs(x)
+    sgn = jnp.where(x < 0.0, np.float32(-1.0), np.float32(1.0))
+    return sgn / jnp.maximum(ax, tiny)
+
+
 def _group_kernel_culled(shape_code, nchunks,
                   o_ref, d_ref, inv_ref, trf_ref, pid_ref, cbb_ref,
                   dist_ref, prim_ref, a_ref, dir_ref,
@@ -256,9 +268,7 @@ def _group_kernel_culled(shape_code, nchunks,
     # per-ray columns [T, 1]
     ox, oy, oz = (o_ref[c, :][:, None] for c in range(3))
     dx, dy, dz = (d_ref[c, :][:, None] for c in range(3))
-    rdx = 1.0 / dx
-    rdy = 1.0 / dy
-    rdz = 1.0 / dz
+    rdx, rdy, rdz = _safe_rcp(dx), _safe_rcp(dy), _safe_rcp(dz)
 
     bd_s[:] = jnp.full_like(bd_s[:], FLT_MAX)
     brow_s[:] = jnp.full_like(brow_s[:], -1)
@@ -530,26 +540,119 @@ def _tri_kernel(nchunks, o_ref, d_ref, tri_ref, a_ref, row_ref):
     row_ref[0, :] = jnp.where(ba[:, 0] < FLT_MAX, brow[:, 0], -1)
 
 
-def mesh_best_rows(o, d, tri, interpret=False):
-    """SoA core: o, d [3, npad] MESH-LOCAL ray rows (d normalized),
-    tri [9, ppad] corner rows. Returns (a, row) each [npad]."""
+def _tri_kernel_culled(nchunks, o_ref, d_ref, tri_ref, cbb_ref,
+                       a_ref, row_ref, ba_s, brow_s):
+    """Triangle fold with chunk-AABB frontier culling — the device half of
+    the per-mesh acceleration structure (Mesh_intersect / intersect_bvm
+    analog, raytracer_func.frag:642-678, 273-311). cbb_ref: SMEM
+    [6, nchunks] MESH-LOCAL AABBs over Morton-coherent triangle chunks
+    (scene/device.py); rays here are mesh-local with UNIT directions, so
+    the slab parameter is directly comparable to the running best `a`.
+    A chunk is skipped when no ray in the tile can beat its best inside
+    the chunk's box — conservative, identical winners."""
+    ox, oy, oz = (o_ref[c, :][:, None] for c in range(3))
+    dx, dy, dz = (d_ref[c, :][:, None] for c in range(3))
+    rdx, rdy, rdz = _safe_rcp(dx), _safe_rcp(dy), _safe_rcp(dz)
+
+    ba_s[:] = jnp.full_like(ba_s[:], FLT_MAX)
+    brow_s[:] = jnp.full_like(brow_s[:], -1)
+
+    def chunk_body(c, _):
+        ba0 = ba_s[:]
+        t0x = (cbb_ref[0, c] - ox) * rdx
+        t1x = (cbb_ref[3, c] - ox) * rdx
+        t0y = (cbb_ref[1, c] - oy) * rdy
+        t1y = (cbb_ref[4, c] - oy) * rdy
+        t0z = (cbb_ref[2, c] - oz) * rdz
+        t1z = (cbb_ref[5, c] - oz) * rdz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z))
+        boxhit = (tmax >= tmin) & (tmin <= ba0)
+
+        @pl.when(jnp.any(boxhit))
+        def _():
+            s = pl.ds(c * PRIM_CHUNK, PRIM_CHUNK)
+            v = [tri_ref[r, s][None, :] for r in range(9)]
+            e1x, e1y, e1z = v[3] - v[0], v[4] - v[1], v[5] - v[2]
+            e2x, e2y, e2z = v[6] - v[0], v[7] - v[1], v[8] - v[2]
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            invd = 1.0 / det
+            sx, sy, sz = ox - v[0], oy - v[1], oz - v[2]
+            u = (sx * hx + sy * hy + sz * hz) * invd
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = (dx * qx + dy * qy + dz * qz) * invd
+            a = (e2x * qx + e2y * qy + e2z * qz) * invd
+            valid = ((jnp.abs(det) >= EPSILON)
+                     & (u >= 0.0) & (u <= 1.0)
+                     & (vv >= 0.0) & (u + vv <= 1.0)
+                     & (a > EPSILON))
+            a = jnp.where(valid, a, FLT_MAX)
+
+            cmin = jnp.min(a, axis=1, keepdims=True)
+            iota = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+            first = jnp.min(jnp.where(a == cmin, iota, PRIM_CHUNK), axis=1,
+                            keepdims=True)
+            w_row = first + c * PRIM_CHUNK
+            take = cmin < ba_s[:]
+            ba_s[:] = jnp.where(take, cmin, ba_s[:])
+            brow_s[:] = jnp.where(take, w_row, brow_s[:])
+
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, chunk_body, 0)
+    ba = ba_s[:, 0]
+    a_ref[0, :] = ba
+    row_ref[0, :] = jnp.where(ba < FLT_MAX, brow_s[:, 0], -1)
+
+
+def mesh_best_rows(o, d, tri, cbb=None, interpret=False):
+    """SoA core: o, d [3, npad] MESH-LOCAL ray rows (d normalized — UNIT,
+    required by the chunk culling), tri [9, ppad] corner rows, cbb
+    [6, nchunks] mesh-local chunk AABBs (None = brute fold). Returns
+    (a, row) each [npad]."""
     npad = o.shape[1]
     ppad = tri.shape[1]
     grid = (npad // RAY_TILE,)
-    kernel = functools.partial(_tri_kernel, ppad // PRIM_CHUNK)
+    nchunks = ppad // PRIM_CHUNK
     ray_spec = pl.BlockSpec((3, RAY_TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec((9, ppad), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((1, npad), jnp.float32),
+                 jax.ShapeDtypeStruct((1, npad), jnp.int32)]
+    if cbb is not None:
+        cbb_spec = pl.BlockSpec((6, nchunks), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
+        a, row = pl.pallas_call(
+            functools.partial(_tri_kernel_culled, nchunks),
+            grid=grid,
+            in_specs=[ray_spec, ray_spec, tri_spec, cbb_spec],
+            out_specs=[out_spec, out_spec],
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((RAY_TILE, 1), jnp.float32),
+                pltpu.VMEM((RAY_TILE, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(o, d, tri, cbb)
+        return a[0], row[0]
     a, row = pl.pallas_call(
-        kernel,
+        functools.partial(_tri_kernel, nchunks),
         grid=grid,
         in_specs=[ray_spec, ray_spec, tri_spec],
         out_specs=[out_spec, out_spec],
-        out_shape=[jax.ShapeDtypeStruct((1, npad), jnp.float32),
-                   jax.ShapeDtypeStruct((1, npad), jnp.int32)],
+        out_shape=out_shape,
         interpret=interpret,
     )(o, d, tri)
     return a[0], row[0]

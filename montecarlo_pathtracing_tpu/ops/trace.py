@@ -133,20 +133,23 @@ def _better_soa(best: HitS, cand: HitS) -> HitS:
 
 
 def trace_soa(scene, o, d, *, interpret: bool = False,
-              cull_chunks: bool = False) -> HitS:
+              cull_chunks: bool | None = None) -> HitS:
     """Closest hit in SoA layout via the Pallas kernels. o, d: vec3 of
     [M] with M a RAY_TILE multiple (pad with unit-z dummy rays).
 
-    cull_chunks enables the SMEM chunk-AABB frontier culling kernel
-    (opt-in: its predicated body compiles very slowly through the remote
-    Mosaic pipeline; winners are identical either way)."""
+    cull_chunks: chunk-AABB frontier culling (Morton-coherent chunks,
+    scene/device.py) — the default (None = auto) enables it for every
+    group/mesh spanning more than one 128-lane kernel chunk. Winners are
+    identical either way (the cull is conservative); False forces the
+    brute fold (kept for equivalence tests)."""
     from .pallas_trace import (
-        group_best_rows, mesh_best_rows, _pad_group, pad_tris)
+        group_best_rows, mesh_best_rows, _pad_group, pad_tris, PRIM_CHUNK)
 
     m = o[0].shape[0]
     o_rows = jnp.stack(o)
     d_rows = jnp.stack(d)
     best = _miss_soa(m)
+    cull = cull_chunks is not False   # None (auto) or True
 
     for gi, code in enumerate(scene.group_codes):
         if scene.group_prim[gi].shape[0] <= SMALL_GROUP_MAX:
@@ -157,9 +160,10 @@ def trace_soa(scene, o, d, *, interpret: bool = False,
         inv_r, trf_r, pid = _pad_group(
             scene.group_transfo[gi], scene.group_inv[gi],
             scene.group_prim[gi])
+        multi = inv_r.shape[1] > PRIM_CHUNK
         dist, row, a, dircode = group_best_rows(
             o_rows, d_rows, code, inv_r, trf_r, pid,
-            cbb=scene.group_chunk_bb[gi] if cull_chunks else None,
+            cbb=scene.group_chunk_bb[gi] if (cull and multi) else None,
             interpret=interpret)
         ok = row >= 0
         r = jnp.where(ok, row, 0)
@@ -197,8 +201,11 @@ def trace_soa(scene, o, d, *, interpret: bool = False,
         tri = pad_tris(scene.tri_va[off:off + cnt],
                        scene.tri_vb[off:off + cnt],
                        scene.tri_vc[off:off + cnt])
-        a, row = mesh_best_rows(jnp.stack(oi), jnp.stack(di), tri,
-                                interpret=interpret)
+        multi = tri.shape[1] > PRIM_CHUNK
+        a, row = mesh_best_rows(
+            jnp.stack(oi), jnp.stack(di), tri,
+            cbb=scene.mesh_chunk_bb[mi_] if (cull and multi) else None,
+            interpret=interpret)
         ok = row >= 0
         pl = vec.axpy(a, di, oi)
         pg = (mtrf[0, 0] * pl[0] + mtrf[0, 1] * pl[1] + mtrf[0, 2] * pl[2] + mtrf[0, 3],

@@ -52,6 +52,7 @@ class RenderConfig:
     detach_sampling: bool = False
     use_pallas: bool = False     # fused VMEM trace kernel (TPU)
     use_megakernel: bool | None = None  # None = auto-route (montecarlo.py)
+    cull_chunks: bool | None = None     # None = auto (on for multi-chunk)
     passes_per_call: int = 8     # passes folded into one jitted call
     shard_devices: int = 0       # >1: shard rays over a device mesh
     tile_rays: int = 1 << 16
@@ -161,6 +162,7 @@ class Renderer:
         integrator = self._integrator
         ntiles = self._ntiles
         route = dict(self._levels[self._level][1])
+        route["cull_chunks"] = cfg.cull_chunks
         params = inspect.signature(integrator).parameters
         kw = {k: v for k, v in route.items() if k in params}
 

@@ -85,10 +85,18 @@ class DeviceScene:
     tri_na: jnp.ndarray         # [T,3] vertex normals
     tri_nb: jnp.ndarray
     tri_nc: jnp.ndarray
+    # per-mesh-instance chunk AABBs (mesh-LOCAL space, one [6, n_chunks]
+    # per instance at the kernel's 128-triangle granularity) — the device
+    # half of the per-mesh acceleration structure (Mesh_intersect analog)
+    mesh_chunk_bb: Tuple[jnp.ndarray, ...]
     # --- scene BVH (reference bvh.cpp heap format) ---
     bvh_bb_min: jnp.ndarray     # [2^(d+1)-1, 3]
     bvh_bb_max: jnp.ndarray
     bvh_leaf: jnp.ndarray       # [2^d] i32, -1 empty
+    # per-prim world AABBs (prim_bb x1.005 padding, scene.cpp:18-42) —
+    # the megakernel's per-prim frontier culling reads these
+    prim_bb_min: jnp.ndarray    # [N,3]
+    prim_bb_max: jnp.ndarray    # [N,3]
     # --- static metadata ---
     group_codes: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     group_chunk: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
@@ -169,32 +177,58 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
         g_chunk.append(chunk)
         g_cbb.append(jnp.asarray(cbb))
 
-    # mesh instances: pre-gather triangle corners/normals in mesh-local space
+    # mesh instances: pre-gather triangle corners/normals in mesh-local
+    # space, MORTON-ORDERED by centroid so contiguous 128-triangle kernel
+    # chunks are spatially coherent; per-chunk mesh-local AABBs then give
+    # the triangle kernel its frontier culling (the TPU-native per-mesh
+    # BVH — Mesh_intersect / gpu_bvh_scene.cpp:51-118 analog).
     mesh_prim_index, mesh_tri_offset, mesh_tri_padded = [], [], []
     va_l, vb_l, vc_l, na_l, nb_l, nc_l = [], [], [], [], [], []
+    mesh_cbb = []
     offset = 0
     for i, p in enumerate(scene.prims):
         if p.type != CODE_MESH:
             continue
         geom = scene.meshes[p.mesh_id]
         t = geom.triangles
-        chunk = min(tri_chunk, _round_up(t.shape[0], 8))
-        pad = _round_up(t.shape[0], chunk)
+        ntris = t.shape[0]
+        cent = (geom.vertices[t[:, 0]] + geom.vertices[t[:, 1]]
+                + geom.vertices[t[:, 2]]) / 3.0
+        lo, hi = cent.min(axis=0), cent.max(axis=0)
+        order = sorted(range(ntris), key=lambda k: _morton3(cent[k], lo, hi))
+        t = t[order]
+        chunk = min(tri_chunk, _round_up(ntris, 8))
+        pad = _round_up(ntris, chunk)
         va = np.zeros((pad, 3), F32)
         vb = np.zeros((pad, 3), F32)
         vc = np.zeros((pad, 3), F32)
         na = np.zeros((pad, 3), F32)
         nb_ = np.zeros((pad, 3), F32)
         nc = np.zeros((pad, 3), F32)
-        va[:t.shape[0]] = geom.vertices[t[:, 0]]
-        vb[:t.shape[0]] = geom.vertices[t[:, 1]]
-        vc[:t.shape[0]] = geom.vertices[t[:, 2]]
-        na[:t.shape[0]] = geom.normals[t[:, 0]]
-        nb_[:t.shape[0]] = geom.normals[t[:, 1]]
-        nc[:t.shape[0]] = geom.normals[t[:, 2]]
+        va[:ntris] = geom.vertices[t[:, 0]]
+        vb[:ntris] = geom.vertices[t[:, 1]]
+        vc[:ntris] = geom.vertices[t[:, 2]]
+        na[:ntris] = geom.normals[t[:, 0]]
+        nb_[:ntris] = geom.normals[t[:, 1]]
+        nc[:ntris] = geom.normals[t[:, 2]]
+        # chunk AABBs at the kernel granularity (pad_tris rounds the pool
+        # slice up to 128-lane chunks; padding regions get an empty box)
+        kchunk = 128
+        nkc = _round_up(pad, kchunk) // kchunk
+        cbb = np.zeros((6, nkc), F32)
+        for c in range(nkc):
+            s, e = c * kchunk, min((c + 1) * kchunk, ntris)
+            if s < ntris:
+                corners = np.concatenate([va[s:e], vb[s:e], vc[s:e]])
+                cbb[0:3, c] = corners.min(axis=0)
+                cbb[3:6, c] = corners.max(axis=0)
+            else:   # padding-only chunk: empty box that nothing enters
+                cbb[0:3, c] = 1.0
+                cbb[3:6, c] = -1.0
         mesh_prim_index.append(i)
         mesh_tri_offset.append(offset)
         mesh_tri_padded.append(pad)
+        mesh_cbb.append(jnp.asarray(cbb))
         va_l.append(va); vb_l.append(vb); vc_l.append(vc)
         na_l.append(na); nb_l.append(nb_); nc_l.append(nc)
         offset += pad
@@ -218,9 +252,12 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
         group_chunk_bb=tuple(g_cbb),
         tri_va=cat(va_l), tri_vb=cat(vb_l), tri_vc=cat(vc_l),
         tri_na=cat(na_l), tri_nb=cat(nb_l), tri_nc=cat(nc_l),
+        mesh_chunk_bb=tuple(mesh_cbb),
         bvh_bb_min=jnp.asarray(bvh.bb_min),
         bvh_bb_max=jnp.asarray(bvh.bb_max),
         bvh_leaf=jnp.asarray(bvh.leaf),
+        prim_bb_min=jnp.asarray(bbmin.astype(F32)),
+        prim_bb_max=jnp.asarray(bbmax.astype(F32)),
         group_codes=tuple(group_codes),
         group_chunk=tuple(g_chunk),
         mesh_prim_index=tuple(mesh_prim_index),

@@ -67,6 +67,23 @@ def _smoke_mesh():
     jax.block_until_ready(a)
 
 
+def _smoke_mesh_culled():
+    from ..ops.pallas_trace import (
+        mesh_best_rows, pad_tris, RAY_TILE, PRIM_CHUNK)
+    n = RAY_TILE
+    o = jnp.zeros((3, n), jnp.float32)
+    d = jnp.zeros((3, n), jnp.float32).at[2].set(1.0)
+    va = jnp.array([[-1.0, -1.0, 2.0]], jnp.float32)
+    vb = jnp.array([[1.0, -1.0, 2.0]], jnp.float32)
+    vc = jnp.array([[0.0, 1.0, 2.0]], jnp.float32)
+    tri = pad_tris(va, vb, vc)
+    nchunks = tri.shape[1] // PRIM_CHUNK
+    cbb = jnp.tile(jnp.array([[-2.0]] * 3 + [[3.0]] * 3, jnp.float32),
+                   (1, nchunks))
+    a, row = mesh_best_rows(o, d, tri, cbb=cbb)
+    jax.block_until_ready(a)
+
+
 def _smoke_megakernel():
     from ..scene import scenes
     from ..scene.device import compile_scene
@@ -98,6 +115,7 @@ SMOKES = (
     ("group_best_rows", _smoke_group_plain),
     ("group_best_rows[culled]", _smoke_group_culled),
     ("mesh_best_rows", _smoke_mesh),
+    ("mesh_best_rows[culled]", _smoke_mesh_culled),
     ("megakernel", _smoke_megakernel),
     ("megakernel[transparent]", _smoke_megakernel_transparent),
 )

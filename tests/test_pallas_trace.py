@@ -162,3 +162,52 @@ def test_culled_kernel_matches_plain():
                              cbb=jnp.asarray(cbb), interpret=True)
     np.testing.assert_array_equal(np.asarray(plain[1]), np.asarray(culled[1]))
     np.testing.assert_array_equal(np.asarray(plain[0]), np.asarray(culled[0]))
+
+
+def test_culled_mesh_kernel_matches_plain():
+    """Triangle chunk-AABB culling must keep winners identical on a mesh
+    spanning several kernel chunks (sphere(24) ~= 1.1k tris)."""
+    import jax.numpy as jnp
+    from montecarlo_pathtracing_tpu.scene import scenes
+    from montecarlo_pathtracing_tpu.scene.device import compile_scene
+    from montecarlo_pathtracing_tpu.ops.pallas_trace import (
+        mesh_best_rows, pad_tris, RAY_TILE)
+
+    dev = compile_scene(scenes.build("mesh_demo"))
+    mi = 0
+    off, cnt = dev.mesh_tri_offset[mi], dev.mesh_tri_padded[mi]
+    tri = pad_tris(dev.tri_va[off:off + cnt], dev.tri_vb[off:off + cnt],
+                   dev.tri_vc[off:off + cnt])
+    assert tri.shape[1] > 128, "fixture must span several chunks"
+    O, D = _random_rays(RAY_TILE, 123)
+    o = jnp.asarray(O.T)
+    d = jnp.asarray(D.T)
+    plain = mesh_best_rows(o, d, tri, cbb=None, interpret=True)
+    culled = mesh_best_rows(o, d, tri, cbb=dev.mesh_chunk_bb[mi],
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(plain[1]), np.asarray(culled[1]))
+    np.testing.assert_array_equal(np.asarray(plain[0]), np.asarray(culled[0]))
+
+
+def test_trace_soa_cull_auto_matches_brute():
+    """Whole-scene SoA trace: default (auto) culling == forced brute fold,
+    on a scene with multi-chunk analytic groups AND a mesh."""
+    import jax.numpy as jnp
+    from montecarlo_pathtracing_tpu.scene import scenes
+    from montecarlo_pathtracing_tpu.scene.device import compile_scene
+    from montecarlo_pathtracing_tpu.ops.trace import trace_soa
+    from montecarlo_pathtracing_tpu.ops.pallas_trace import RAY_TILE
+
+    for name in ("colonnes", "mesh_demo"):
+        dev = compile_scene(scenes.build(name))
+        O, D = _random_rays(RAY_TILE, hash(name) % 1000)
+        o = tuple(jnp.asarray(O[:, c]) for c in range(3))
+        d = tuple(jnp.asarray(D[:, c]) for c in range(3))
+        brute = trace_soa(dev, o, d, interpret=True, cull_chunks=False)
+        auto = trace_soa(dev, o, d, interpret=True)
+        np.testing.assert_array_equal(np.asarray(brute.prim),
+                                      np.asarray(auto.prim), err_msg=name)
+        np.testing.assert_array_equal(np.asarray(brute.tri),
+                                      np.asarray(auto.tri), err_msg=name)
+        np.testing.assert_array_equal(np.asarray(brute.dist),
+                                      np.asarray(auto.dist), err_msg=name)
