@@ -14,14 +14,18 @@ fold, normal reconstruction, the material cases, and the progressive-seed
 schedule. HBM traffic collapses to rays-in (5 f32/ray) + rgb-out
 (3 f32/ray).
 
-Scene representation: one SMEM table [31, P] of per-prim scalars
-(12 inverse-transform rows, 12 forward rows, shin/rough/emis,
-rgba) with a static (shape_code, start, count) descriptor per homogeneous
-group. The closest-hit fold is scalar-over-prims x vector-over-rays
-(a lax.fori_loop of ~120 VPU ops per prim, every op a full (R,128)
-vreg) — the right shape for the reference's scenes (9..~900 analytic
-prims). Meshes and very large scenes route to the chunked kernels in
-ops/pallas_trace.py instead (see mega_eligible).
+Scene representation: one SMEM table [38, P] of per-prim scalars
+(12 inverse-transform rows, 12 forward rows, shin/rough/emis, rgba, an
+ok flag masking group-padding columns, and the prim's world AABB) with a
+static (shape_code, start, count) descriptor per homogeneous group. The
+closest-hit fold is scalar-over-prims x vector-over-rays (a lax.fori_loop
+of ~120 VPU ops per prim, every op a full (R,128) vreg), and on scenes
+with >= MEGA_CULL_MIN_PRIMS each prim is guarded by an AABB slab test
+against the whole ray block (@pl.when skip) — per-PRIM frontier culling,
+the finest-grained TPU answer to the reference's BVH stack walk
+(intersect_bvh, raytracer_func.frag:734-769). Meshes and very large
+scenes route to the chunked kernels in ops/pallas_trace.py instead (see
+mega_eligible).
 
 The fold carries the winner's ATTRIBUTES (normal, hit point, material,
 color) instead of its index, so shading needs no gathers at all — the
@@ -52,7 +56,8 @@ from ..ops import rng as _rng
 
 TILE_ROWS = 32             # rays per tile = TILE_ROWS * 128
 LANES = 128
-MEGA_MAX_PRIMS = 512       # SMEM table cap: 31 * 512 * 4B = 62 KB
+MEGA_MAX_PRIMS = 1024      # SMEM table cap: 38 * 1024 * 4B = 152 KB
+MEGA_CULL_MIN_PRIMS = 64   # per-prim AABB culling pays for itself above this
 
 U32 = jnp.uint32
 _ADV0 = np.uint32(_rng.ADVANCE[0])
@@ -162,24 +167,54 @@ def _random_ray(state, d, roughness, mask):
 # in-kernel closest-hit fold (scalar prims x vector rays)
 # --------------------------------------------------------------------------
 
-def _trace_fold(groups, tab, o, d, n_prev, p_prev):
+def _safe_rcp(x):
+    """1/x with exact zeros clamped to a huge finite value (no inf*0=NaN
+    in the AABB slab test; TIR refract rays carry exact-zero components)."""
+    tiny = np.float32(1e-30)
+    sgn = jnp.where(x < 0.0, np.float32(-1.0), np.float32(1.0))
+    return sgn / jnp.maximum(jnp.abs(x), tiny)
+
+
+def _trace_fold(groups, tab, o, d, n_prev, p_prev, scr, cull):
     """Fold every analytic prim into per-ray winner ATTRIBUTES.
 
-    groups: static ((shape_code, start, count), ...); tab: SMEM [31, P]
+    groups: static ((shape_code, start, count), ...); tab: SMEM [38, P]
     (rows 0-11 inv affine, 12-23 trf affine, 24 shin, 25 rough, 26 emis,
-    27-30 rgba). Same winners/order as ops.trace._small_group_soa
-    (strictly-closer, group order then ascending index). Returns
-    (is_hit, N, P, shin, rough, emis, col3, alpha); on miss N, P keep
-    (n_prev, p_prev) — the GLSL stale-output semantics that the
-    refraction inner re-trace relies on (tp/montecarlo.frag:150-152).
+    27-30 rgba, 31 ok flag — 0 marks group-padding columns, which must
+    never hit — 32-37 world AABB min/max). Same winners/order as
+    ops.trace._small_group_soa (strictly-closer, group order then
+    ascending index). Returns (is_hit, N, P, shin, rough, emis, col3,
+    alpha); on miss N, P keep (n_prev, p_prev) — the GLSL stale-output
+    semantics that the refraction inner re-trace relies on
+    (tp/montecarlo.frag:150-152).
+
+    scr: 14 VMEM scratch refs holding the running winner (shared by the
+    outer and inner folds of a bounce; reset here). cull (static): skip a
+    prim entirely when no ray in the block can beat its current best
+    inside the prim's world AABB (tab rows 32-37) — the per-prim
+    frontier cull, the megakernel's answer to the reference's BVH walk
+    (intersect_bv, raytracer_func.frag:314-352). Conservative: identical
+    winners, directions must be unit (slab t == world distance).
     """
+    (bd_s, nx_s, ny_s, nz_s, px_s, py_s, pz_s,
+     sh_s, ro_s, em_s, cr_s, cg_s, cb_s, ca_s) = scr
     z = jnp.zeros_like(o[0])
-    bd = jnp.full_like(o[0], FLT_MAX)
-    carry0 = (bd,
-              n_prev[0], n_prev[1], n_prev[2],
-              p_prev[0], p_prev[1], p_prev[2],
-              z, z, z,                      # shin, rough, emis
-              z, z, z, z + 1.0)             # col rgb, alpha
+    bd_s[...] = z + FLT_MAX
+    nx_s[...] = n_prev[0]
+    ny_s[...] = n_prev[1]
+    nz_s[...] = n_prev[2]
+    px_s[...] = p_prev[0]
+    py_s[...] = p_prev[1]
+    pz_s[...] = p_prev[2]
+    sh_s[...] = z
+    ro_s[...] = z
+    em_s[...] = z
+    cr_s[...] = z
+    cg_s[...] = z
+    cb_s[...] = z
+    ca_s[...] = z + 1.0
+    if cull:
+        rdx, rdy, rdz = _safe_rcp(d[0]), _safe_rcp(d[1]), _safe_rcp(d[2])
 
     def make_body(code, start, fn):
         is_sphere = code == CODE_SPHERE
@@ -187,10 +222,12 @@ def _trace_fold(groups, tab, o, d, n_prev, p_prev):
         is_cyl = code == CODE_CYLINDER
         is_cone = code == CODE_CONE
 
-        def body(p, carry):
-            (bd, nx, ny, nz, px, py, pz,
-             shin, rough, emis, cr, cg, cb, ca) = carry
-            c = start + p
+        def prim_work(c):
+            bd = bd_s[...]
+            nx, ny, nz = nx_s[...], ny_s[...], nz_s[...]
+            px, py, pz = px_s[...], py_s[...], pz_s[...]
+            shin, rough, emis = sh_s[...], ro_s[...], em_s[...]
+            cr, cg, cb, ca = cr_s[...], cg_s[...], cb_s[...], ca_s[...]
             iv = [tab[r, c] for r in range(12)]
             tf = [tab[r + 12, c] for r in range(12)]
             # local-frame ray (scalar affine coefficients, full-lane blocks)
@@ -246,42 +283,71 @@ def _trace_fold(groups, tab, o, d, n_prev, p_prev):
                 nv = _vwhere(topc, (jnp.zeros_like(nv[0]),) * 3, nv)
 
             take = dist < bd
-            return (jnp.where(take, dist, bd),
-                    jnp.where(take, nv[0], nx),
-                    jnp.where(take, nv[1], ny),
-                    jnp.where(take, nv[2], nz),
-                    jnp.where(take, pg[0], px),
-                    jnp.where(take, pg[1], py),
-                    jnp.where(take, pg[2], pz),
-                    jnp.where(take, tab[24, c], shin),
-                    jnp.where(take, tab[25, c], rough),
-                    jnp.where(take, tab[26, c], emis),
-                    jnp.where(take, tab[27, c], cr),
-                    jnp.where(take, tab[28, c], cg),
-                    jnp.where(take, tab[29, c], cb),
-                    jnp.where(take, tab[30, c], ca))
+            bd_s[...] = jnp.where(take, dist, bd)
+            nx_s[...] = jnp.where(take, nv[0], nx)
+            ny_s[...] = jnp.where(take, nv[1], ny)
+            nz_s[...] = jnp.where(take, nv[2], nz)
+            px_s[...] = jnp.where(take, pg[0], px)
+            py_s[...] = jnp.where(take, pg[1], py)
+            pz_s[...] = jnp.where(take, pg[2], pz)
+            sh_s[...] = jnp.where(take, tab[24, c], shin)
+            ro_s[...] = jnp.where(take, tab[25, c], rough)
+            em_s[...] = jnp.where(take, tab[26, c], emis)
+            cr_s[...] = jnp.where(take, tab[27, c], cr)
+            cg_s[...] = jnp.where(take, tab[28, c], cg)
+            cb_s[...] = jnp.where(take, tab[29, c], cb)
+            ca_s[...] = jnp.where(take, tab[30, c], ca)
+
+        def body(p, _):
+            c = start + p
+            ok = tab[31, c] > 0.0          # group-padding columns never hit
+            if cull:
+                t0x = (tab[32, c] - o[0]) * rdx
+                t1x = (tab[35, c] - o[0]) * rdx
+                t0y = (tab[33, c] - o[1]) * rdy
+                t1y = (tab[36, c] - o[1]) * rdy
+                t0z = (tab[34, c] - o[2]) * rdz
+                t1z = (tab[37, c] - o[2]) * rdz
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.maximum(t0z, t1z))
+                boxhit = (tmax >= tmin) & (tmin <= bd_s[...])
+                pred = ok & jnp.any(boxhit)
+            else:
+                pred = ok
+
+            @pl.when(pred)
+            def _():
+                prim_work(c)
+
+            return 0
 
         return body
 
-    carry = carry0
     for code, start, count in groups:
         body = make_body(code, start, _SOA_FNS[code])
-        carry = jax.lax.fori_loop(0, count, body, carry)
-    (bd, nx, ny, nz, px, py, pz,
-     shin, rough, emis, cr, cg, cb, ca) = carry
+        jax.lax.fori_loop(0, count, body, 0)
+    bd = bd_s[...]
     is_hit = bd < FLT_MAX
-    return (is_hit, (nx, ny, nz), (px, py, pz),
-            shin, rough, emis, (cr, cg, cb), ca)
+    return (is_hit, (nx_s[...], ny_s[...], nz_s[...]),
+            (px_s[...], py_s[...], pz_s[...]),
+            sh_s[...], ro_s[...], em_s[...],
+            (cr_s[...], cg_s[...], cb_s[...]), ca_s[...])
 
 
 # --------------------------------------------------------------------------
 # the megakernel
 # --------------------------------------------------------------------------
 
-def _mega_kernel(groups, nb_bounces, has_transparent,
+def _mega_kernel(groups, nb_bounces, has_transparent, cull,
                  dx_ref, dy_ref, dz_ref, u_ref, v_ref,
                  fpar_ref, upar_ref, tab_ref,
-                 r_ref, g_ref, b_ref):
+                 r_ref, g_ref, b_ref, *scr):
     d = (dx_ref[...], dy_ref[...], dz_ref[...])
     z = jnp.zeros_like(d[0])
     one = jnp.ones_like(d[0])
@@ -306,7 +372,7 @@ def _mega_kernel(groups, nb_bounces, has_transparent,
         done = done_i != 0
         is_hit, N, P, shin, rough, emis, col3, alpha = _trace_fold(
             groups, tab_ref, o, d, unit_z,
-            (o[0] + d[0], o[1] + d[1], o[2] + d[2]))
+            (o[0] + d[0], o[1] + d[1], o[2] + d[2]), scr, cull)
 
         active = ~done
         miss_now = active & ~is_hit
@@ -374,7 +440,7 @@ def _mega_kernel(groups, nb_bounces, has_transparent,
                            (P[0] - BIAS * N[0], P[1] - BIAS * N[1],
                             P[2] - BIAS * N[2]), o)
             _, N2r, P2r, *_unused = _trace_fold(
-                groups, tab_ref, o_in, d_in, N, P)
+                groups, tab_ref, o_in, d_in, N, P, scr, cull)
             N2 = _vwhere(refr_lane, N2r, unit_z)
             P2 = _vwhere(refr_lane, P2r, P)
             d_exit = _refract_glsl(d_in, (-N2[0], -N2[1], -N2[2]), 1.0 / ior)
@@ -448,9 +514,11 @@ def _mega_meta(scene):
 
 
 def _mega_table(scene):
-    """[31, P] f32 prim-scalar table (device-side; cheap, built under jit).
+    """[38, P] f32 prim-scalar table (device-side; cheap, built under jit).
     Rows 0-11 inverse affine, 12-23 forward affine, 24 shin, 25 rough,
-    26 emis, 27-30 rgba — materials resolved per GLOBAL prim id."""
+    26 emis, 27-30 rgba, 31 ok (0 = group-padding column, never hit),
+    32-34 world AABB min, 35-37 max (empty box for padding) — materials
+    resolved per GLOBAL prim id."""
     cols = []
     for gi in range(len(scene.group_codes)):
         pid = scene.group_prim[gi]
@@ -458,16 +526,22 @@ def _mega_table(scene):
         trf = scene.group_transfo[gi][:, :3, :4].reshape(-1, 12)
         m = jnp.take(scene.mat, pid, axis=0)       # [P,4]
         c = jnp.take(scene.color, pid, axis=0)     # [P,4]
+        okr = (pid >= 0).astype(jnp.float32)[:, None]
+        bmn = jnp.take(scene.prim_bb_min, pid, axis=0)
+        bmx = jnp.take(scene.prim_bb_max, pid, axis=0)
+        bmn = jnp.where(okr > 0, bmn, np.float32(1.0))
+        bmx = jnp.where(okr > 0, bmx, np.float32(-1.0))
         cols.append(jnp.concatenate(
-            [inv, trf, m[:, 0:1], m[:, 1:2], m[:, 2:3], c], axis=1))
-    return jnp.concatenate(cols, axis=0).T         # [31, P]
+            [inv, trf, m[:, 0:1], m[:, 1:2], m[:, 2:3], c, okr, bmn, bmx],
+            axis=1))
+    return jnp.concatenate(cols, axis=0).T         # [38, P]
 
 
 @functools.partial(
     jax.jit, static_argnames=("groups", "nb_bounces", "has_transparent",
-                              "interpret"))
+                              "cull", "interpret"))
 def _mega_call(d_rows, u, v, fpar, upar, tab, groups, nb_bounces,
-               has_transparent, interpret=False):
+               has_transparent, cull=False, interpret=False):
     m = d_rows.shape[1]
     grid = (m // TILE_ROWS,)
     blk = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
@@ -475,7 +549,7 @@ def _mega_call(d_rows, u, v, fpar, upar, tab, groups, nb_bounces,
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                       memory_space=pltpu.SMEM)
     kernel = functools.partial(_mega_kernel, groups, nb_bounces,
-                               has_transparent)
+                               has_transparent, cull)
     r, g, b = pl.pallas_call(
         kernel,
         grid=grid,
@@ -483,6 +557,9 @@ def _mega_call(d_rows, u, v, fpar, upar, tab, groups, nb_bounces,
                   smem((1, 4)), smem((1, 1)), smem(tab.shape)],
         out_specs=[blk, blk, blk],
         out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 3,
+        # 14 winner-attribute scratch buffers shared by the per-bounce
+        # closest-hit folds (bd, N, P, shin/rough/emis, rgba)
+        scratch_shapes=[pltpu.VMEM((TILE_ROWS, LANES), jnp.float32)] * 14,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
@@ -525,6 +602,7 @@ def raytrace_mega(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
     tab = _mega_table(scene)
     r, g, b = _mega_call(d_rows, u, v, fpar, upar, tab, groups,
                          int(nb_bounces), scene.has_transparent,
+                         cull=total >= MEGA_CULL_MIN_PRIMS,
                          interpret=interpret)
     rgb = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
     return rgb[:n]

@@ -42,6 +42,8 @@ F32 = np.float32
 ANALYTIC_CODES = (CODE_SPHERE, CODE_CUBE, CODE_CYLINDER, CODE_CONE,
                   CODE_ORIENTED_QUAD)
 
+TRI_SUPER = 16    # leaf chunks per super-chunk (16 x 128 = 2048 tris)
+
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
@@ -86,9 +88,14 @@ class DeviceScene:
     tri_nb: jnp.ndarray
     tri_nc: jnp.ndarray
     # per-mesh-instance chunk AABBs (mesh-LOCAL space, one [6, n_chunks]
-    # per instance at the kernel's 128-triangle granularity) — the device
-    # half of the per-mesh acceleration structure (Mesh_intersect analog)
+    # per instance at the kernel's 128-triangle granularity, padded to a
+    # TRI_SUPER multiple with empty boxes) — the leaf level of the
+    # per-mesh acceleration structure (Mesh_intersect analog)
     mesh_chunk_bb: Tuple[jnp.ndarray, ...]
+    # super-chunk AABBs (one box per TRI_SUPER=16 chunks = 2048 Morton-
+    # adjacent triangles) — the inner level: a ray tile that misses a
+    # super skips all 16 leaf box tests and bodies
+    mesh_super_bb: Tuple[jnp.ndarray, ...]
     # --- scene BVH (reference bvh.cpp heap format) ---
     bvh_bb_min: jnp.ndarray     # [2^(d+1)-1, 3]
     bvh_bb_max: jnp.ndarray
@@ -184,7 +191,7 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
     # BVH — Mesh_intersect / gpu_bvh_scene.cpp:51-118 analog).
     mesh_prim_index, mesh_tri_offset, mesh_tri_padded = [], [], []
     va_l, vb_l, vc_l, na_l, nb_l, nc_l = [], [], [], [], [], []
-    mesh_cbb = []
+    mesh_cbb, mesh_sbb = [], []
     offset = 0
     for i, p in enumerate(scene.prims):
         if p.type != CODE_MESH:
@@ -212,11 +219,15 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
         nb_[:ntris] = geom.normals[t[:, 1]]
         nc[:ntris] = geom.normals[t[:, 2]]
         # chunk AABBs at the kernel granularity (pad_tris rounds the pool
-        # slice up to 128-lane chunks; padding regions get an empty box)
+        # slice up to 128-lane chunks). The leaf table is padded to a
+        # TRI_SUPER multiple with EMPTY boxes so the kernel's two-level
+        # loop needs no edge handling; super boxes union their real
+        # chunks' boxes.
         kchunk = 128
         nkc = _round_up(pad, kchunk) // kchunk
-        cbb = np.zeros((6, nkc), F32)
-        for c in range(nkc):
+        nkc_pad = _round_up(nkc, TRI_SUPER)
+        cbb = np.zeros((6, nkc_pad), F32)
+        for c in range(nkc_pad):
             s, e = c * kchunk, min((c + 1) * kchunk, ntris)
             if s < ntris:
                 corners = np.concatenate([va[s:e], vb[s:e], vc[s:e]])
@@ -225,10 +236,23 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
             else:   # padding-only chunk: empty box that nothing enters
                 cbb[0:3, c] = 1.0
                 cbb[3:6, c] = -1.0
+        nsuper = nkc_pad // TRI_SUPER
+        sbb = np.zeros((6, nsuper), F32)
+        for sc in range(nsuper):
+            lo, hi = sc * TRI_SUPER, (sc + 1) * TRI_SUPER
+            real = [c for c in range(lo, min(hi, nkc))
+                    if c * kchunk < ntris]
+            if real:
+                sbb[0:3, sc] = cbb[0:3, real].min(axis=1)
+                sbb[3:6, sc] = cbb[3:6, real].max(axis=1)
+            else:
+                sbb[0:3, sc] = 1.0
+                sbb[3:6, sc] = -1.0
         mesh_prim_index.append(i)
         mesh_tri_offset.append(offset)
         mesh_tri_padded.append(pad)
         mesh_cbb.append(jnp.asarray(cbb))
+        mesh_sbb.append(jnp.asarray(sbb))
         va_l.append(va); vb_l.append(vb); vc_l.append(vc)
         na_l.append(na); nb_l.append(nb_); nc_l.append(nc)
         offset += pad
@@ -253,6 +277,7 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
         tri_va=cat(va_l), tri_vb=cat(vb_l), tri_vc=cat(vc_l),
         tri_na=cat(na_l), tri_nb=cat(nb_l), tri_nc=cat(nc_l),
         mesh_chunk_bb=tuple(mesh_cbb),
+        mesh_super_bb=tuple(mesh_sbb),
         bvh_bb_min=jnp.asarray(bvh.bb_min),
         bvh_bb_max=jnp.asarray(bvh.bb_max),
         bvh_leaf=jnp.asarray(bvh.leaf),

@@ -70,3 +70,39 @@ def test_megakernel_zero_bounces_black():
         dev, origin, dirs, tc, jnp.int32(0), nb_bounces=0,
         refract_ind=jnp.float32(1.0), interpret=True))
     assert (got == 0.0).all()
+
+
+def test_megakernel_pad_columns_never_hit():
+    """Regression: group-padding columns carry identity transforms; before
+    the ok-flag mask the megakernel traced them as phantom unit prims at
+    the world origin (caught as 3 bright pixels at 96x96 on box_diffuse).
+    A scene whose real geometry is far from the origin must show sky, not
+    a phantom, for rays through the origin."""
+    from montecarlo_pathtracing_tpu.scene.scene import (
+        ScenePrimitives, Material)
+    from montecarlo_pathtracing_tpu.utils.transforms import translate
+    from montecarlo_pathtracing_tpu.models.megakernel import (
+        TILE_ROWS, LANES, _mega_meta)
+
+    sc = ScenePrimitives()
+    sc.add_cube(translate(40.0, 0.0, 0.0), Material((0.9, 0.2, 0.2, 1.0)))
+    sc.add_cube(translate(-40.0, 0.0, 0.0), Material((0.2, 0.9, 0.2, 1.0)))
+    dev = compile_scene(sc)
+    groups, total = _mega_meta(dev)
+    assert total > dev.nb_prims, "fixture must actually have pad columns"
+
+    n = TILE_ROWS * LANES
+    # rays from above straight down through the origin: nothing real there
+    D = jnp.zeros((n, 3), jnp.float32).at[:, 2].set(-1.0)
+    O = jnp.array([0.0, 0.0, 50.0], jnp.float32)
+    tc = jnp.zeros((n, 2), jnp.float32)
+    ref = np.asarray(soa(dev, O, D, tc, jnp.int32(0), nb_bounces=2,
+                         refract_ind=jnp.float32(1.0), use_megakernel=False))
+    got = np.asarray(raytrace_mega(dev, O, D, tc, jnp.int32(0),
+                                   nb_bounces=2,
+                                   refract_ind=jnp.float32(1.0),
+                                   interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # and the miss must be the sky for straight-down rays, not black/phantom
+    sky_low = np.array([0.5, 0.5, 0.9]) * 0.8   # attenu 0.8 * sky(d.z<0)
+    np.testing.assert_allclose(ref[0], sky_low, atol=1e-5)
