@@ -540,16 +540,21 @@ def _tri_kernel(nchunks, o_ref, d_ref, tri_ref, a_ref, row_ref):
     row_ref[0, :] = jnp.where(ba[:, 0] < FLT_MAX, brow[:, 0], -1)
 
 
-def _tri_kernel_culled(nchunks, o_ref, d_ref, tri_ref, cbb_ref,
-                       a_ref, row_ref, ba_s, brow_s):
-    """Triangle fold with chunk-AABB frontier culling — the device half of
-    the per-mesh acceleration structure (Mesh_intersect / intersect_bvm
-    analog, raytracer_func.frag:642-678, 273-311). cbb_ref: SMEM
-    [6, nchunks] MESH-LOCAL AABBs over Morton-coherent triangle chunks
-    (scene/device.py); rays here are mesh-local with UNIT directions, so
-    the slab parameter is directly comparable to the running best `a`.
-    A chunk is skipped when no ray in the tile can beat its best inside
-    the chunk's box — conservative, identical winners."""
+def _tri_kernel_culled(nsuper, super_k, nchunks_real,
+                       o_ref, d_ref, tri_ref, cbb_ref,
+                       sbb_ref, a_ref, row_ref, ba_s, brow_s):
+    """Triangle fold with TWO-LEVEL AABB frontier culling — the device
+    half of the per-mesh acceleration structure (Mesh_intersect /
+    intersect_bvm analog, raytracer_func.frag:642-678, 273-311).
+
+    sbb_ref: SMEM [6, nsuper] super-chunk boxes (super_k=TRI_SUPER leaf
+    chunks each); cbb_ref: SMEM [6, nsuper*super_k] leaf boxes over
+    Morton-coherent 128-triangle chunks, padded with empty boxes
+    (scene/device.py). Rays are mesh-local with UNIT directions, so the
+    slab parameter is directly comparable to the running best `a`. A ray
+    tile that misses a super skips its super_k leaf tests AND bodies; a
+    leaf chunk is skipped when no ray can beat its best inside the box —
+    conservative both levels, identical winners."""
     ox, oy, oz = (o_ref[c, :][:, None] for c in range(3))
     dx, dy, dz = (d_ref[c, :][:, None] for c in range(3))
     rdx, rdy, rdz = _safe_rcp(dx), _safe_rcp(dy), _safe_rcp(dz)
@@ -557,25 +562,36 @@ def _tri_kernel_culled(nchunks, o_ref, d_ref, tri_ref, cbb_ref,
     ba_s[:] = jnp.full_like(ba_s[:], FLT_MAX)
     brow_s[:] = jnp.full_like(brow_s[:], -1)
 
-    def chunk_body(c, _):
-        ba0 = ba_s[:]
-        t0x = (cbb_ref[0, c] - ox) * rdx
-        t1x = (cbb_ref[3, c] - ox) * rdx
-        t0y = (cbb_ref[1, c] - oy) * rdy
-        t1y = (cbb_ref[4, c] - oy) * rdy
-        t0z = (cbb_ref[2, c] - oz) * rdz
-        t1z = (cbb_ref[5, c] - oz) * rdz
+    def _slab(ref, c, bound):
+        t0x = (ref[0, c] - ox) * rdx
+        t1x = (ref[3, c] - ox) * rdx
+        t0y = (ref[1, c] - oy) * rdy
+        t1y = (ref[4, c] - oy) * rdy
+        t0z = (ref[2, c] - oz) * rdz
+        t1z = (ref[5, c] - oz) * rdz
         tmin = jnp.maximum(
             jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
             jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
         tmax = jnp.minimum(
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.maximum(t0z, t1z))
-        boxhit = (tmax >= tmin) & (tmin <= ba0)
+        return (tmax >= tmin) & (tmin <= bound)
+
+    def chunk_body(c, _):
+        boxhit = _slab(cbb_ref, c, ba_s[:])
+        # Chunk indices run to the super-aligned padded count; pads carry
+        # empty boxes so the body SHOULD be skipped — but clamp the data
+        # index anyway so a mispredicated pad chunk re-tests the last
+        # REAL chunk instead of slicing out of bounds (equal candidates
+        # never replace the strictly-closer winner, so a spurious body
+        # execution is harmless; an OOB slice is garbage). Round-2
+        # lesson: Mosaic executed pad-chunk bodies that interpret mode
+        # (correctly) skipped, turning OOB reads into phantom hits.
+        cc = jnp.minimum(c, nchunks_real - 1)
 
         @pl.when(jnp.any(boxhit))
         def _():
-            s = pl.ds(c * PRIM_CHUNK, PRIM_CHUNK)
+            s = pl.ds(cc * PRIM_CHUNK, PRIM_CHUNK)
             v = [tri_ref[r, s][None, :] for r in range(9)]
             e1x, e1y, e1z = v[3] - v[0], v[4] - v[1], v[5] - v[2]
             e2x, e2y, e2z = v[6] - v[0], v[7] - v[1], v[8] - v[2]
@@ -601,28 +617,42 @@ def _tri_kernel_culled(nchunks, o_ref, d_ref, tri_ref, cbb_ref,
             iota = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
             first = jnp.min(jnp.where(a == cmin, iota, PRIM_CHUNK), axis=1,
                             keepdims=True)
-            w_row = first + c * PRIM_CHUNK
+            w_row = first + cc * PRIM_CHUNK
             take = cmin < ba_s[:]
             ba_s[:] = jnp.where(take, cmin, ba_s[:])
             brow_s[:] = jnp.where(take, w_row, brow_s[:])
 
         return 0
 
-    jax.lax.fori_loop(0, nchunks, chunk_body, 0)
+    def super_body(sc, _):
+        shit = _slab(sbb_ref, sc, ba_s[:])
+
+        @pl.when(jnp.any(shit))
+        def _():
+            # static trip count + offset index: a traced-bound fori
+            # lowers to a while loop and multiplies Mosaic compile time
+            jax.lax.fori_loop(
+                0, super_k,
+                lambda j, _: chunk_body(sc * super_k + j, _), 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, nsuper, super_body, 0)
     ba = ba_s[:, 0]
     a_ref[0, :] = ba
     row_ref[0, :] = jnp.where(ba < FLT_MAX, brow_s[:, 0], -1)
 
 
-def mesh_best_rows(o, d, tri, cbb=None, interpret=False):
+def mesh_best_rows(o, d, tri, cbb=None, sbb=None, interpret=False):
     """SoA core: o, d [3, npad] MESH-LOCAL ray rows (d normalized — UNIT,
     required by the chunk culling), tri [9, ppad] corner rows, cbb
-    [6, nchunks] mesh-local chunk AABBs (None = brute fold). Returns
+    [6, nchunks] mesh-local leaf chunk AABBs (None = brute fold), sbb
+    [6, nsuper] super-chunk AABBs (None = synthesize always-pass supers;
+    cbb width must then be padded here to a super multiple). Returns
     (a, row) each [npad]."""
     npad = o.shape[1]
     ppad = tri.shape[1]
     grid = (npad // RAY_TILE,)
-    nchunks = ppad // PRIM_CHUNK
     ray_spec = pl.BlockSpec((3, RAY_TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec((9, ppad), lambda i: (0, 0),
@@ -632,12 +662,27 @@ def mesh_best_rows(o, d, tri, cbb=None, interpret=False):
     out_shape = [jax.ShapeDtypeStruct((1, npad), jnp.float32),
                  jax.ShapeDtypeStruct((1, npad), jnp.int32)]
     if cbb is not None:
-        cbb_spec = pl.BlockSpec((6, nchunks), lambda i: (0, 0),
+        if sbb is None:
+            ncb = cbb.shape[1]
+            pad_to = _round_up(ncb, 16)
+            if pad_to != ncb:
+                empty = jnp.tile(
+                    jnp.array([[1.0]] * 3 + [[-1.0]] * 3, jnp.float32),
+                    (1, pad_to - ncb))
+                cbb = jnp.concatenate([cbb, empty], axis=1)
+            sbb = jnp.tile(jnp.array([[-3e38]] * 3 + [[3e38]] * 3,
+                                     jnp.float32), (1, pad_to // 16))
+        nsuper = sbb.shape[1]
+        super_k = cbb.shape[1] // nsuper
+        cbb_spec = pl.BlockSpec((6, cbb.shape[1]), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
+        sbb_spec = pl.BlockSpec((6, nsuper), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)
         a, row = pl.pallas_call(
-            functools.partial(_tri_kernel_culled, nchunks),
+            functools.partial(_tri_kernel_culled, nsuper, super_k,
+                              ppad // PRIM_CHUNK),
             grid=grid,
-            in_specs=[ray_spec, ray_spec, tri_spec, cbb_spec],
+            in_specs=[ray_spec, ray_spec, tri_spec, cbb_spec, sbb_spec],
             out_specs=[out_spec, out_spec],
             out_shape=out_shape,
             scratch_shapes=[
@@ -645,10 +690,10 @@ def mesh_best_rows(o, d, tri, cbb=None, interpret=False):
                 pltpu.VMEM((RAY_TILE, 1), jnp.int32),
             ],
             interpret=interpret,
-        )(o, d, tri, cbb)
+        )(o, d, tri, cbb, sbb)
         return a[0], row[0]
     a, row = pl.pallas_call(
-        functools.partial(_tri_kernel, nchunks),
+        functools.partial(_tri_kernel, ppad // PRIM_CHUNK),
         grid=grid,
         in_specs=[ray_spec, ray_spec, tri_spec],
         out_specs=[out_spec, out_spec],

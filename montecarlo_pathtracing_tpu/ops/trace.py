@@ -205,6 +205,7 @@ def trace_soa(scene, o, d, *, interpret: bool = False,
         a, row = mesh_best_rows(
             jnp.stack(oi), jnp.stack(di), tri,
             cbb=scene.mesh_chunk_bb[mi_] if (cull and multi) else None,
+            sbb=scene.mesh_super_bb[mi_] if (cull and multi) else None,
             interpret=interpret)
         ok = row >= 0
         pl = vec.axpy(a, di, oi)

@@ -53,6 +53,9 @@ class RenderConfig:
     use_pallas: bool = False     # fused VMEM trace kernel (TPU)
     use_megakernel: bool | None = None  # None = auto-route (montecarlo.py)
     cull_chunks: bool | None = None     # None = auto (on for multi-chunk)
+    pixel_order: str = "block32"  # ray layout: "block32" tiles the image
+    # into 32x32 pixel blocks so each kernel ray tile is screen-compact
+    # (tight frustum -> AABB culls bite); "scanline" = row-major
     passes_per_call: int = 8     # passes folded into one jitted call
     shard_devices: int = 0       # >1: shard rays over a device mesh
     tile_rays: int = 1 << 16
@@ -68,6 +71,19 @@ class RenderConfig:
 
 def _round_up(n, m):
     return ((n + m - 1) // m) * m
+
+
+def _block_perm(w: int, h: int, bs: int = 32) -> np.ndarray:
+    """Permutation putting pixels in bs x bs screen blocks (row-major
+    blocks, row-major within a block). A 1024-ray kernel tile then covers
+    one 32x32 block instead of 1.3 full-width scanlines, which is what
+    makes the chunk/prim AABB frontier culls effective."""
+    idx = np.arange(w * h).reshape(h, w)
+    parts = []
+    for by in range(0, h, bs):
+        for bx in range(0, w, bs):
+            parts.append(idx[by:by + bs, bx:bx + bs].ravel())
+    return np.concatenate(parts)
 
 
 # Messages that identify a Pallas/Mosaic kernel-compilation failure (as
@@ -105,12 +121,18 @@ class Renderer:
         self._npix = npix
         self._tile = min(config.tile_rays, pad)
         self._ntiles = pad // self._tile
+        if config.pixel_order == "block32":
+            perm = _block_perm(w, h)
+        else:
+            perm = np.arange(npix)
+        self._inv_perm = np.argsort(perm)
         d = jnp.concatenate(
-            [dirs.reshape(npix, 3),
+            [jnp.asarray(np.asarray(dirs.reshape(npix, 3))[perm]),
              jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32),
                               (pad - npix, 3))])
         t = jnp.concatenate(
-            [tc.reshape(npix, 2), jnp.zeros((pad - npix, 2), jnp.float32)])
+            [jnp.asarray(np.asarray(tc.reshape(npix, 2))[perm]),
+             jnp.zeros((pad - npix, 2), jnp.float32)])
         self._origin = origin
         self._dirs = d.reshape(self._ntiles, self._tile, 3)
         self._tc = t.reshape(self._ntiles, self._tile, 2)
@@ -279,6 +301,7 @@ class Renderer:
         Returns [H, W, 3] float32, row 0 = bottom."""
         w, h = self.config.render_width, self.config.render_height
         acc = np.asarray(self._acc).reshape(-1, 3)[: self._npix]
+        acc = acc[self._inv_perm]          # undo the pixel-block layout
         return (acc / max(1, self.nb_passes)).reshape(h, w, 3)
 
     def save_png(self, path: str):

@@ -228,6 +228,24 @@ def scene_mesh_demo(light_intensity=1.2) -> ScenePrimitives:
     return s
 
 
+def scene_mesh_hires(light_intensity=1.2) -> ScenePrimitives:
+    """Large-mesh stress fixture: a 101,760-triangle lat-long sphere
+    (sphere(160)) plus a 20k-tri torus — the >=50k-tri benchmark scene
+    for the per-mesh chunk-culling path (the scale the reference demos
+    via Assimp imports, README.md 'Exemples de scenes')."""
+    s = ScenePrimitives()
+    s.add_oriented_quad(T(0, 0, -60) @ S(500, 500, 1), Material(BLANC))
+    big = s.add_mesh_geometry(meshlib.sphere(160))            # ~102k tris
+    tor = s.add_mesh_geometry(meshlib.torus(n1=100, n2=100))  # 20k tris
+    s.place_mesh(big, T(-45, 0, -15) @ S(42), Material(ROUGE, 0.35, 0.85))
+    s.place_mesh(tor, T(70, 20, -35) @ RX(90) @ S(28),
+                 Material(CYAN, 0.2, 0.5))
+    s.add_cube(T(20, -95, -42) @ RZ(25) @ S(18), Material(VERT))
+    s.add_oriented_quad(T(0, 0, 150) @ RX(180) @ S(60, 60, 1),
+                        Material.light(BLANC, 10 * light_intensity))
+    return s
+
+
 SCENES = {
     "box_diffuse": scene_box_diffuse,    # Q
     "box_balls": scene_box_balls,        # W
@@ -238,6 +256,7 @@ SCENES = {
     "menger_lights": scene_menger_lights,  # U
     "colonnes": scene_colonnes,          # I
     "mesh_demo": scene_mesh_demo,        # new
+    "mesh_hires": scene_mesh_hires,      # new, >=50k-tri stress
 }
 
 

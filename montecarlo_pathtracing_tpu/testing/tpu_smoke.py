@@ -68,20 +68,38 @@ def _smoke_mesh():
 
 
 def _smoke_mesh_culled():
-    from ..ops.pallas_trace import (
-        mesh_best_rows, pad_tris, RAY_TILE, PRIM_CHUNK)
-    n = RAY_TILE
-    o = jnp.zeros((3, n), jnp.float32)
-    d = jnp.zeros((3, n), jnp.float32).at[2].set(1.0)
-    va = jnp.array([[-1.0, -1.0, 2.0]], jnp.float32)
-    vb = jnp.array([[1.0, -1.0, 2.0]], jnp.float32)
-    vc = jnp.array([[0.0, 1.0, 2.0]], jnp.float32)
-    tri = pad_tris(va, vb, vc)
-    nchunks = tri.shape[1] // PRIM_CHUNK
-    cbb = jnp.tile(jnp.array([[-2.0]] * 3 + [[3.0]] * 3, jnp.float32),
-                   (1, nchunks))
-    a, row = mesh_best_rows(o, d, tri, cbb=cbb)
-    jax.block_until_ready(a)
+    """Compile the two-level culled triangle kernel AND assert winner
+    equality against the plain fold through the REAL pipeline, with a
+    fixture whose leaf-chunk table has super-alignment PAD chunks.
+    Interpret mode skips pad-chunk bodies by predicate; Mosaic has been
+    seen to execute them (round 2), which only this real-compile check
+    catches."""
+    import numpy as np
+    from ..scene import scenes
+    from ..scene.device import compile_scene
+    from ..ops.pallas_trace import mesh_best_rows, pad_tris, RAY_TILE
+
+    dev = compile_scene(scenes.build("mesh_demo"))
+    off, cnt = dev.mesh_tri_offset[0], dev.mesh_tri_padded[0]
+    tri = pad_tris(dev.tri_va[off:off + cnt], dev.tri_vb[off:off + cnt],
+                   dev.tri_vc[off:off + cnt])
+    assert dev.mesh_chunk_bb[0].shape[1] > tri.shape[1] // 128, \
+        "fixture must have pad chunks"
+    rs = np.random.RandomState(7)
+    O = rs.uniform(-3, 3, (RAY_TILE, 3)).astype(np.float32)
+    D = rs.normal(size=(RAY_TILE, 3)).astype(np.float32)
+    D /= np.linalg.norm(D, axis=-1, keepdims=True)
+    o = jnp.asarray(O.T)
+    d = jnp.asarray(D.T)
+    ap, rp = mesh_best_rows(o, d, tri, cbb=None)
+    ac, rc = mesh_best_rows(o, d, tri, cbb=dev.mesh_chunk_bb[0],
+                            sbb=dev.mesh_super_bb[0])
+    if not (np.array_equal(np.asarray(rp), np.asarray(rc))
+            and np.array_equal(np.asarray(ap), np.asarray(ac))):
+        nbad = int((np.asarray(rp) != np.asarray(rc)).sum())
+        raise AssertionError(
+            f"culled mesh kernel winners diverge from plain on real "
+            f"compile ({nbad}/{RAY_TILE} rays)")
 
 
 def _smoke_megakernel():
