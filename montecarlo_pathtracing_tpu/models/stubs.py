@@ -9,6 +9,7 @@ visualization with noise) and as carousel parity fixtures.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..ops import rng
@@ -16,7 +17,10 @@ from ..ops.trace import trace
 from ..ops.shading import intersection_info
 from ..utils.transforms import normalize
 
-MISS_COLOR = jnp.array([0.0, 0.0, 0.2], jnp.float32)
+# numpy, not jnp: a module-level device array would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize in
+# multi-process launches (it must run before any backend init)
+MISS_COLOR = np.array([0.0, 0.0, 0.2], np.float32)
 
 
 def _first_hit(scene, O, D):

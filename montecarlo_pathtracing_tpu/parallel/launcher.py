@@ -35,12 +35,70 @@ def init_distributed(coordinator: str | None = None,
     if process_id is None:
         process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
     if num_processes > 1:
+        if (jax.config.jax_platforms or "").startswith("cpu"):
+            # CPU multi-process (tests / simulation): cross-process
+            # collectives need the gloo transport. (Checked via the
+            # config, not default_backend(), which would initialize the
+            # backend before the collectives choice lands.)
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,
             process_id=process_id,
         )
     return process_id
+
+
+def process_checkpoint_path(checkpoint: str, pid: int) -> str:
+    """Per-process checkpoint name: rank tag before the extension."""
+    root, ext = os.path.splitext(checkpoint)
+    return f"{root}.p{pid}{ext or '.npz'}"
+
+
+def run_multihost_render(renderer, spp: int, checkpoint: str | None = None,
+                         checkpoint_every: int = 64):
+    """Sample-axis data parallelism across PROCESSES (the multi-host
+    scaling axis of SURVEY.md §2.3): process k of P renders the
+    contiguous pass block [k*spp//P, (k+1)*spp//P) into its local
+    accumulator, checkpointing every checkpoint_every passes; the final
+    image is the cross-process sum of accumulators / spp (the
+    psum-of-partial-sums accumulation protocol — average.frag analog at
+    pod scale). Per-pixel seeds are pure functions of (uv, pass)
+    (ops/rng.srand_soa), so the partitioning is invisible to the result
+    and a crashed process resumes from its own checkpoint losing at most
+    checkpoint_every passes.
+
+    Each process checkpoints to '<checkpoint-root>.p<k>.npz' (np.savez
+    appends .npz to suffix-less paths, so the rank tag goes before the
+    extension). Returns the resolved [H, W, 3] image (every process
+    returns the same array).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    base = pid * spp // nproc
+    end = (pid + 1) * spp // nproc
+    ckpt = process_checkpoint_path(checkpoint, pid) if checkpoint else None
+    if ckpt and os.path.exists(ckpt):
+        renderer.load_checkpoint(ckpt)
+    else:
+        renderer.nb_passes = base          # pass-indexed seeds start here
+    while renderer.nb_passes < end:
+        target = min(end, renderer.nb_passes + max(1, checkpoint_every))
+        renderer.run(target)
+        if ckpt:
+            renderer.save_checkpoint(ckpt)
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+        parts = multihost_utils.process_allgather(renderer._acc)
+        acc = np.asarray(parts).sum(axis=0)       # process-ascending order
+    else:
+        acc = np.asarray(renderer._acc)
+    w = renderer.config.render_width
+    h = renderer.config.render_height
+    flat = acc.reshape(-1, 3)[: renderer._npix]
+    return (flat / max(1, spp)).reshape(h, w, 3)
 
 
 def run_distributed_render(renderer, spp: int, checkpoint: str | None,
