@@ -242,12 +242,189 @@ def load_ply(path: str) -> MeshGeometry:
                  np.array(norms, F32) if norms else None)
 
 
+def load_stl(path: str) -> MeshGeometry:
+    """STL importer, binary and ASCII. STL is triangle soup, so vertices
+    are welded (exact-coordinate dedup) before computing area-weighted
+    smooth normals — matching the reference's Assimp import with
+    aiProcess_GenSmoothNormals + JoinIdenticalVertices
+    (mesh.cpp:682-684 analog)."""
+    import struct
+
+    with open(path, "rb") as f:
+        head = f.read(80)
+        rest = f.read()
+    is_ascii = head[:5] == b"solid"
+    if is_ascii:
+        # a binary file may still start with "solid": check the size math
+        if len(rest) >= 4:
+            (n,) = struct.unpack("<I", rest[:4])
+            if len(rest) == 4 + 50 * n:
+                is_ascii = False
+    soup = []
+    if is_ascii:
+        for line in (head + rest).decode("ascii", "replace").splitlines():
+            parts = line.split()
+            if parts and parts[0] == "vertex":
+                soup.append([float(x) for x in parts[1:4]])
+        soup = np.array(soup, F32)
+    else:
+        (n,) = struct.unpack("<I", rest[:4])
+        rec = np.frombuffer(rest[4:4 + 50 * n], dtype=np.uint8)
+        rec = rec.reshape(n, 50)[:, 12:48].copy()   # skip normal, attr
+        soup = rec.view("<f4").reshape(n * 3, 3).astype(F32)
+    if soup.size == 0:
+        raise ValueError(f"no triangles in {path}")
+    verts, inverse = np.unique(soup, axis=0, return_inverse=True)
+    faces = inverse.reshape(-1, 3).astype(np.int32)
+    # drop degenerate triangles produced by welding
+    ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+          & (faces[:, 0] != faces[:, 2]))
+    return _mesh(verts.astype(F32), faces[ok])
+
+
+def load_gltf(path: str) -> MeshGeometry:
+    """glTF 2.0 importer (.gltf JSON + external/data-URI buffers, and
+    binary .glb). Reads POSITION/NORMAL/indices of every triangle
+    primitive of every node, applying the node's world transform — the
+    same flatten-the-scene-graph behavior as the reference's Assimp path
+    (mesh.cpp:698-750 walks all aiMesh es into one vertex/index pool)."""
+    import base64
+    import json
+    import os
+    import struct
+
+    if path.lower().endswith(".glb"):
+        with open(path, "rb") as f:
+            magic, _ver, _len = struct.unpack("<III", f.read(12))
+            assert magic == 0x46546C67, "not a glb file"
+            gltf = None
+            bin_chunk = b""
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                clen, ctype = struct.unpack("<II", hdr)
+                data = f.read(clen)
+                if ctype == 0x4E4F534A:        # 'JSON'
+                    gltf = json.loads(data)
+                elif ctype == 0x004E4942:      # 'BIN\0'
+                    bin_chunk = data
+        buffers = [bin_chunk]
+    else:
+        with open(path) as f:
+            gltf = json.load(f)
+        buffers = []
+        for buf in gltf.get("buffers", []):
+            uri = buf.get("uri", "")
+            if uri.startswith("data:"):
+                buffers.append(base64.b64decode(uri.split(",", 1)[1]))
+            else:
+                with open(os.path.join(os.path.dirname(path), uri),
+                          "rb") as bf:
+                    buffers.append(bf.read())
+
+    comp_dtype = {5120: np.int8, 5121: np.uint8, 5122: np.int16,
+                  5123: np.uint16, 5125: np.uint32, 5126: np.float32}
+    comp_n = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+    def read_accessor(ai):
+        acc = gltf["accessors"][ai]
+        bv = gltf["bufferViews"][acc["bufferView"]]
+        dt = np.dtype(comp_dtype[acc["componentType"]])
+        n = comp_n[acc["type"]]
+        count = acc["count"]
+        off = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        stride = bv.get("byteStride") or dt.itemsize * n
+        raw = buffers[bv["buffer"]]
+        out = np.empty((count, n), dt)
+        if stride == dt.itemsize * n:
+            out[:] = np.frombuffer(
+                raw, dt, count * n, off).reshape(count, n)
+        else:
+            for i in range(count):
+                out[i] = np.frombuffer(raw, dt, n, off + i * stride)
+        return out
+
+    def node_matrix(node):
+        if "matrix" in node:
+            return np.array(node["matrix"], np.float64).reshape(4, 4).T
+        m = np.eye(4)
+        if "translation" in node:
+            m[:3, 3] = node["translation"]
+        if "rotation" in node:
+            x, y, z, w = node["rotation"]
+            r = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w),
+                 1 - 2 * (x * x + y * y)]])
+            m[:3, :3] = m[:3, :3] @ r
+        if "scale" in node:
+            m[:3, :3] = m[:3, :3] @ np.diag(node["scale"])
+        return m
+
+    verts_l, norms_l, faces_l = [], [], []
+    base = 0
+    have_all_normals = True
+
+    def visit(ni, parent):
+        nonlocal base, have_all_normals
+        node = gltf["nodes"][ni]
+        world = parent @ node_matrix(node)
+        if "mesh" in node:
+            for prim in gltf["meshes"][node["mesh"]]["primitives"]:
+                if prim.get("mode", 4) != 4:        # triangles only
+                    continue
+                pos = read_accessor(
+                    prim["attributes"]["POSITION"]).astype(np.float64)
+                pos = pos @ world[:3, :3].T + world[:3, 3]
+                if "indices" in prim:
+                    idx = read_accessor(prim["indices"]).reshape(-1)
+                else:
+                    idx = np.arange(len(pos))
+                faces_l.append(idx.reshape(-1, 3).astype(np.int64) + base)
+                verts_l.append(pos)
+                if "NORMAL" in prim["attributes"]:
+                    nrm = read_accessor(
+                        prim["attributes"]["NORMAL"]).astype(np.float64)
+                    it = np.linalg.inv(world[:3, :3]).T
+                    nrm = nrm @ it.T
+                    ln = np.linalg.norm(nrm, axis=1, keepdims=True)
+                    ln[ln == 0] = 1.0
+                    norms_l.append(nrm / ln)
+                else:
+                    have_all_normals = False
+                base += len(pos)
+        for ci in node.get("children", []):
+            visit(ci, world)
+
+    scene_idx = gltf.get("scene", 0)
+    roots = gltf["scenes"][scene_idx]["nodes"] if "scenes" in gltf else \
+        list(range(len(gltf.get("nodes", []))))
+    for ni in roots:
+        visit(ni, np.eye(4))
+    if not verts_l:
+        raise ValueError(f"no triangle primitives in {path}")
+    verts = np.concatenate(verts_l).astype(F32)
+    faces = np.concatenate(faces_l).astype(np.int32)
+    norms = (np.concatenate(norms_l).astype(F32)
+             if have_all_normals and norms_l else None)
+    return _mesh(verts, faces, norms)
+
+
 def load_mesh(path: str) -> MeshGeometry:
     """Format-dispatching loader (Mesh::load analog, mesh.cpp:646-750:
-    the reference delegates to Assimp; here OBJ and PLY parsers)."""
+    the reference delegates to Assimp; here dependency-free OBJ, PLY,
+    STL and glTF/GLB parsers)."""
     lower = path.lower()
     if lower.endswith(".obj"):
         return load_obj(path)
     if lower.endswith(".ply"):
         return load_ply(path)
+    if lower.endswith(".stl"):
+        return load_stl(path)
+    if lower.endswith(".gltf") or lower.endswith(".glb"):
+        return load_gltf(path)
     raise ValueError(f"unsupported mesh format: {path}")
