@@ -25,11 +25,12 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 
 def main():
     import jax
+    # sitecustomize imports jax before this script runs, so env vars are
+    # too late — force the platform through the config instead.
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     assert jax.devices()[0].platform == "cpu", "baseline must run on CPU"
