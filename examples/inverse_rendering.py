@@ -1,17 +1,22 @@
 """Inverse-rendering demo (BASELINE config 4).
 
-Renders a target image of the box_diffuse scene, perturbs one cube's
-albedo, then recovers it by Adam descent on the pixel MSE using the
-detached-sampling gradients. Writes target / initial / recovered PNGs
-and prints the loss curve + recovered RGB.
+Renders a target image of the box_balls scene (all four material cases
+live there), perturbs one sphere's albedo + roughness AND the global
+refraction index, then recovers all three by Adam descent on the pixel
+MSE using the detached-sampling gradients — through the Pallas fast
+path on TPU (render/diff.py use_pallas auto). Writes target / initial /
+recovered PNGs and the loss curve to examples/captures/.
 
-  python examples/inverse_rendering.py [--cpu] [--steps 80]
+  python examples/inverse_rendering.py            # 800x600 on TPU
+  python examples/inverse_rendering.py --cpu --quick
 """
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -21,17 +26,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--steps", type=int, default=80)
-    ap.add_argument("--width", type=int, default=64)
-    ap.add_argument("--height", type=int, default=48)
-    ap.add_argument("--outdir", default=".")
+    ap.add_argument("--steps", type=int, default=120)
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=600)
+    ap.add_argument("--quick", action="store_true",
+                    help="64x48, 30 steps")
+    ap.add_argument("--outdir", default=os.path.join(
+        os.path.dirname(__file__), "captures"))
     args = ap.parse_args()
 
+    import jax
     if args.cpu:
-        import jax
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
+    from montecarlo_pathtracing_tpu.utils.profiling import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     from montecarlo_pathtracing_tpu.scene import scenes
     from montecarlo_pathtracing_tpu.scene.device import compile_scene
     from montecarlo_pathtracing_tpu.render.camera import (
@@ -40,35 +51,85 @@ def main():
         params_of, render_mean, inverse_render_fit)
     from montecarlo_pathtracing_tpu.utils.image import write_png
 
-    w, h = args.width, args.height
-    dev = compile_scene(scenes.build("box_diffuse"))
+    if args.quick:
+        w, h, steps = 64, 48, 30
+    else:
+        w, h, steps = args.width, args.height, args.steps
+    os.makedirs(args.outdir, exist_ok=True)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    fast = on_tpu
+
+    dev = compile_scene(scenes.build("box_balls"))
     proj, view = default_rt_camera(w, h)
     origin, dirs, tc = camera_rays(proj, view, w, h)
     dirs, tc = dirs.reshape(-1, 3), tc.reshape(-1, 2)
 
-    p_true = params_of(dev)
-    target = render_mean(dev, p_true, origin, dirs, tc, 4, 6)
+    # a pure-diffuse cube of box_balls (alpha == 1, shininess == 0): a
+    # pure-diffuse row keeps the fit inside one material case — see
+    # inverse_render_fit's doc. (The spheres all carry shininess.)
+    cubes = [int(i) for i in np.asarray(
+        dev.group_prim[dev.group_codes.index(2)]) if i >= 0]
+    mat = np.asarray(dev.mat)
+    col = np.asarray(dev.color)
+    target_prim = next(i for i in cubes
+                       if col[i, 3] == 1.0 and mat[i, 0] == 0.0)
+
+    ior_true = 1.35
+    p_true = params_of(dev, refract_ind=ior_true)
+    t0 = time.perf_counter()
+    target = render_mean(dev, p_true, origin, dirs, tc, 4, 6,
+                         "montecarlo", fast)
     write_png(f"{args.outdir}/inv_target.png",
               np.asarray(target).reshape(h, w, 3))
 
-    cube = int(np.asarray(dev.group_prim[dev.group_codes.index(2)])[0])
+    rng = np.random.RandomState(0)
     p0 = p_true._replace(
-        color=p_true.color.at[cube, :3].set(jnp.array([0.05, 0.55, 0.3])))
-    init_img = render_mean(dev, p0, origin, dirs, tc, 4, 6)
+        color=p_true.color.at[target_prim, :3].set(
+            jnp.array([0.05, 0.55, 0.3])),
+        mat=p_true.mat.at[target_prim, 1].set(0.9),
+        refract_ind=jnp.float32(1.05),
+    )
+    init_img = render_mean(dev, p0, origin, dirs, tc, 4, 6,
+                           "montecarlo", fast)
     write_png(f"{args.outdir}/inv_initial.png",
               np.asarray(init_img).reshape(h, w, 3))
 
     p_fit, losses = inverse_render_fit(
-        dev, target, origin, dirs, tc, prim_ids=[cube],
-        steps=args.steps, lr=5e-2, n_passes=4, nb_bounces=6,
-        seed_params=p0, verbose=True)
+        dev, target, origin, dirs, tc, prim_ids=[target_prim],
+        steps=steps, lr=3e-2, n_passes=4, nb_bounces=6,
+        fit_albedo=True, fit_mat_cols=(1,), fit_ior=True,
+        seed_params=p0, verbose=True, use_pallas=fast)
 
-    final = render_mean(dev, p_fit, origin, dirs, tc, 4, 6)
+    final = render_mean(dev, p_fit, origin, dirs, tc, 4, 6,
+                        "montecarlo", fast)
     write_png(f"{args.outdir}/inv_recovered.png",
               np.asarray(final).reshape(h, w, 3))
-    print(f"loss: {losses[0]:.6f} -> {losses[-1]:.6f}")
-    print("true albedo:     ", np.asarray(p_true.color[cube, :3]))
-    print("recovered albedo:", np.asarray(p_fit.color[cube, :3]))
+    wall = time.perf_counter() - t0
+
+    out = {
+        "scene": "box_balls", "width": w, "height": h, "steps": steps,
+        "platform": jax.devices()[0].platform, "fast_path": bool(fast),
+        "wall_s": round(wall, 1),
+        "loss_curve": [round(x, 6) for x in losses],
+        "true": {
+            "albedo": np.asarray(p_true.color[target_prim, :3]).tolist(),
+            "roughness": float(p_true.mat[target_prim, 1]),
+            "ior": ior_true,
+        },
+        "initial": {
+            "albedo": [0.05, 0.55, 0.3], "roughness": 0.9, "ior": 1.05,
+        },
+        "recovered": {
+            "albedo": np.asarray(p_fit.color[target_prim, :3]).tolist(),
+            "roughness": float(p_fit.mat[target_prim, 1]),
+            "ior": float(p_fit.refract_ind),
+        },
+    }
+    with open(f"{args.outdir}/inverse_rendering.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"loss: {losses[0]:.6f} -> {losses[-1]:.6f}  ({wall:.0f}s)")
+    print("true     ", out["true"])
+    print("recovered", out["recovered"])
 
 
 if __name__ == "__main__":

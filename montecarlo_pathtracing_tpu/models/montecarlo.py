@@ -42,20 +42,37 @@ def sky_color_soa(d):
                  for lo, hi in zip(SKY_LOW, SKY_HIGH))
 
 
-def _trace_dispatch(scene, o, d, use_pallas, interpret, cull_chunks=None):
-    """SoA closest hit: Pallas kernels on TPU, dense XLA fold otherwise."""
+def _trace_dispatch(scene, o, d, use_pallas, interpret, cull_chunks=None,
+                    nondiff=False):
+    """SoA closest hit: Pallas kernels on TPU, dense XLA fold otherwise.
+
+    nondiff=True detaches the trace from the AD graph (stop_gradient on
+    the rays in and every Hit field out) so reverse-mode never needs a
+    VJP for the Pallas kernels. This is exact for the differentiable
+    leaves (color/mat/light: hit geometry does not depend on them) and
+    drops only the geometric half of the IOR gradient (the refraction
+    inner re-trace moving the exit point) — the Schlick/attenuation IOR
+    term still flows. The dense route keeps the full IOR gradient."""
+    if nondiff:
+        o = tuple(jax.lax.stop_gradient(c) for c in o)
+        d = tuple(jax.lax.stop_gradient(c) for c in d)
     if use_pallas:
-        return trace_soa(scene, o, d, interpret=interpret,
-                         cull_chunks=cull_chunks)
-    hit = trace(scene, vec.to_aos(o), vec.to_aos(d))
-    return HitS(hit.dist, hit.prim, hit.shape, hit.dircode, hit.tri,
-                vec.from_aos(hit.pl), vec.from_aos(hit.pg))
+        hit = trace_soa(scene, o, d, interpret=interpret,
+                        cull_chunks=cull_chunks)
+    else:
+        h = trace(scene, vec.to_aos(o), vec.to_aos(d))
+        hit = HitS(h.dist, h.prim, h.shape, h.dircode, h.tri,
+                   vec.from_aos(h.pl), vec.from_aos(h.pg))
+    if nondiff:
+        hit = jax.tree_util.tree_map(jax.lax.stop_gradient, hit)
+    return hit
 
 
 def random_path_soa(scene, o, d, state, *, nb_bounces: int, refract_ind,
                     detach_sampling: bool = False, use_pallas: bool = False,
                     pallas_interpret: bool = False,
-                    cull_chunks: bool | None = None):
+                    cull_chunks: bool | None = None,
+                    nondiff_trace: bool = False):
     """One path per lane, SoA. o, d: vec3 of [N] (d normalized), state:
     (s0, s1, s2) uint32 [N]. Returns (rgb vec3, state)."""
     n = d[0].shape[0]
@@ -77,7 +94,7 @@ def random_path_soa(scene, o, d, state, *, nb_bounces: int, refract_ind,
         o, d, attenu, total, result, done, state = carry
         del i
         hit = _trace_dispatch(scene, o, d, use_pallas, pallas_interpret,
-                              cull_chunks)
+                              cull_chunks, nondiff_trace)
 
         active = ~done
         is_hit = hit.shape >= 0
@@ -110,7 +127,14 @@ def random_path_soa(scene, o, d, state, *, nb_bounces: int, refract_ind,
         R = vec.reflect(vec.neg(ray), N)                       # (:131)
         E = vec.normalize(vec.sub(o, P), eps=1e-30)
         se = (1.0 - rough) * 100.0 + rough * 2.0               # (:133)
-        spec = jnp.power(jnp.maximum(0.0, vec.dot(E, R)), se)
+        # pow with a zero-base guard: forward-identical to
+        # pow(max(0, dot), se) (se >= 2, so pow(0, se) == 0), but the
+        # gradient of x**se w.r.t. se is x**se * log(x) = NaN at x == 0
+        # and jnp.where passes untaken-branch NaNs through reverse-mode
+        # — roughness flows into the exponent, so guard the base
+        er = jnp.maximum(0.0, vec.dot(E, R))
+        er_safe = jnp.where(er > 0.0, er, 1.0)
+        spec = jnp.where(er > 0.0, jnp.power(er_safe, se), 0.0)
 
         # ambient leak + emissive gather (:136)
         emit = emis * (1.0 - shin) * alpha
@@ -152,7 +176,8 @@ def random_path_soa(scene, o, d, state, *, nb_bounces: int, refract_ind,
             o_inner = vec.where(refr_lane,
                                 vec.sub(P, vec.scale(N, BIAS)), o)
             hit2 = _trace_dispatch(scene, o_inner, d_inner, use_pallas,
-                                   pallas_interpret, cull_chunks)
+                                   pallas_interpret, cull_chunks,
+                                   nondiff_trace)
             n2_raw, p2_raw = intersection_info_soa(scene, hit2, prev=(N, P))
             N2 = vec.where(refr_lane, n2_raw, unit_z)
             P2 = vec.where(refr_lane, p2_raw, P)
@@ -201,7 +226,8 @@ def raytrace(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
              refract_ind, date=0.0, detach_sampling: bool = False,
              use_pallas: bool = False, pallas_interpret: bool = False,
              use_megakernel: bool | None = None,
-             cull_chunks: bool | None = None):
+             cull_chunks: bool | None = None,
+             nondiff_trace: bool | None = None):
     """tp/montecarlo.frag:182-188: srand + one random path per lane.
 
     AoS boundary: O [3], D [N,3], screen_tc [N,2] in; rgb [N,3] out. Rays
@@ -213,6 +239,11 @@ def raytrace(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
     runs as ONE fused Pallas kernel (models/megakernel.py) instead of the
     trace-kernel + XLA-shading pipeline (~20x less HBM traffic per pass).
     """
+    if nondiff_trace is None:
+        # the gradient path (detach_sampling) through the Pallas kernels
+        # needs the trace detached — no VJP exists for the kernels, and
+        # none is needed (see _trace_dispatch)
+        nondiff_trace = use_pallas and detach_sampling
     if use_megakernel is None:
         from .megakernel import mega_eligible
         use_megakernel = (use_pallas and not detach_sampling
@@ -243,5 +274,6 @@ def raytrace(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
         scene, o, (dx, dy, dz), state,
         nb_bounces=nb_bounces, refract_ind=refract_ind,
         detach_sampling=detach_sampling, use_pallas=use_pallas,
-        pallas_interpret=pallas_interpret, cull_chunks=cull_chunks)
+        pallas_interpret=pallas_interpret, cull_chunks=cull_chunks,
+        nondiff_trace=nondiff_trace)
     return vec.to_aos(rgb)[:n]

@@ -34,6 +34,24 @@ from ..utils.transforms import normalize, PRECISION
 EPSILON = np.float32(1e-10)
 FLT_MAX = np.float32(3.402823e38)
 
+
+def _safe_sqrt(x, pos):
+    """sqrt guarded for reverse-mode: d(sqrt)/dx is infinite at x == 0
+    and jnp.where passes untaken-branch NaNs through AD. `pos` is the
+    validity mask under which the sqrt value is actually consumed;
+    forward values are identical (guarded lanes return 0, exactly what
+    sqrt(max(x, 0)) produced there). Needed because the dense trace IS
+    differentiated — the IOR gradient's geometric term flows through
+    refraction exit points into these intersectors."""
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
+def _safe_div(num, den, ok):
+    """num/den with the denominator where-guarded to 1 outside `ok`
+    (the validity mask that already excludes den ~ 0). Forward-identical
+    where consumed; keeps 1/0 = inf out of the AD graph."""
+    return num / jnp.where(ok, den, 1.0)
+
 # primitive type codes (raytracer_func.frag:38-43)
 CODE_MESH = 0
 CODE_SPHERE = 1
@@ -80,10 +98,10 @@ def sphere_local(O, D):
     OD = jnp.sum(O * D, -1)
     D2 = jnp.sum(D * D, -1)
     delta4 = OD * OD - D2 * (OO - 1.0)
-    sq = jnp.sqrt(jnp.maximum(delta4, 0.0))
+    ok = delta4 > 0.0
+    sq = _safe_sqrt(delta4, ok)
     a1 = -(OD + sq) / D2
     a2 = -(OD - sq) / D2
-    ok = delta4 > 0.0
     v1 = ok & (a1 > EPSILON)
     v2 = ok & (a2 > EPSILON)
     a = jnp.where(v1, a1, jnp.where(v2, a2, FLT_MAX))
@@ -94,7 +112,7 @@ def quad_local(O, D):
     """One-sided unit quad at z=0 (raytracer_func.frag:443-470).
     Quirk: no positivity check on a."""
     facing = D[..., 2] <= -EPSILON
-    a = -O[..., 2] / D[..., 2]
+    a = _safe_div(-O[..., 2], D[..., 2], facing)
     px = O[..., 0] + a * D[..., 0]
     py = O[..., 1] + a * D[..., 1]
     inside = (jnp.abs(px) <= 1.0) & (jnp.abs(py) <= 1.0)
@@ -113,9 +131,10 @@ def _slab6(O, D):
         c2 = (c0 + 2) % 3
         cd = np.float32(-1.0 + 2.0 * (c % 2))
         dc = D[..., c0]
-        a = (cd - O[..., c0]) / dc
+        dc_ok = jnp.abs(dc) > EPSILON
+        a = _safe_div(cd - O[..., c0], dc, dc_ok)
         v = (
-            (jnp.abs(dc) > EPSILON)
+            dc_ok
             & (a > EPSILON)
             & (jnp.abs(O[..., c1] + a * D[..., c1]) <= 1.0)
             & (jnp.abs(O[..., c2] + a * D[..., c2]) <= 1.0)
@@ -139,7 +158,7 @@ def cylinder_local(O, D):
     cl = jnp.full(O.shape[:-1], -1, jnp.int32)
     dz_ok = jnp.abs(D[..., 2]) > EPSILON
     for code, zplane in ((0, -1.0), (1, 1.0)):
-        a = (np.float32(zplane) - O[..., 2]) / D[..., 2]
+        a = _safe_div(np.float32(zplane) - O[..., 2], D[..., 2], dz_ok)
         rx = O[..., 0] + a * D[..., 0]
         ry = O[..., 1] + a * D[..., 1]
         v = dz_ok & (a > EPSILON) & (rx * rx + ry * ry < 1.0) & (a < al)
@@ -149,9 +168,10 @@ def cylinder_local(O, D):
     OD = O[..., 0] * D[..., 0] + O[..., 1] * D[..., 1]
     D2 = D[..., 0] ** 2 + D[..., 1] ** 2
     delta4 = OD * OD - D2 * (O2 - 1.0)
-    a = -(OD + jnp.sqrt(jnp.maximum(delta4, 0.0))) / D2
+    pos = delta4 > 0.0
+    a = _safe_div(-(OD + _safe_sqrt(delta4, pos)), D2, pos)
     z = O[..., 2] + a * D[..., 2]
-    v = (delta4 > 0.0) & (a > EPSILON) & (a < al) & (jnp.abs(z) < 1.0)
+    v = pos & (a > EPSILON) & (a < al) & (jnp.abs(z) < 1.0)
     al = jnp.where(v, a, al)
     cl = jnp.where(v, 2, cl)
     return al, al < FLT_MAX, cl
@@ -163,11 +183,12 @@ def cone_local(O, D):
     tl = jnp.full(O.shape[:-1], FLT_MAX, jnp.float32)
     cl = jnp.full(O.shape[:-1], -1, jnp.int32)
     # bottom cap
-    t0 = (-1.0 - O[..., 2]) / D[..., 2]
+    dz_ok = jnp.abs(D[..., 2]) > EPSILON
+    t0 = _safe_div(-1.0 - O[..., 2], D[..., 2], dz_ok)
     rx = O[..., 0] + t0 * D[..., 0]
     ry = O[..., 1] + t0 * D[..., 1]
     v = (
-        (jnp.abs(D[..., 2]) > EPSILON)
+        dz_ok
         & (t0 > EPSILON)
         & (rx * rx + ry * ry < 1.0)
         & (t0 < tl)
@@ -182,13 +203,16 @@ def cone_local(O, D):
     b = 2.0 * (D[..., 2] * coz - dco * np.float32(0.8))
     c = coz * coz - coco * np.float32(0.8)
     det = b * b - 4.0 * a * c
-    sq = jnp.sqrt(jnp.maximum(det, 0.0))
-    t1 = (-b - sq) / (2.0 * a)
-    t2 = (-b + sq) / (2.0 * a)
+    pos = det > 0.0
+    sq = _safe_sqrt(det, pos)
+    # guard only on det > 0: the reference divides by 2a unguarded (a == 0
+    # means dz^2 == 0.8 exactly), so keep that forward behavior bit-exact
+    t1 = _safe_div(-b - sq, 2.0 * a, pos)
+    t2 = _safe_div(-b + sq, 2.0 * a, pos)
     t1 = jnp.where(jnp.abs(O[..., 2] + t1 * D[..., 2]) > 1.0, FLT_MAX, t1)
     t2 = jnp.where(jnp.abs(O[..., 2] + t2 * D[..., 2]) > 1.0, FLT_MAX, t2)
     t = jnp.minimum(t1, t2)
-    v = (det > 0.0) & (t < tl)
+    v = pos & (t < tl)
     tl = jnp.where(v, t, tl)
     cl = jnp.where(v, 2, cl)
     return tl, tl < FLT_MAX, cl
@@ -211,7 +235,8 @@ def triangle_batch(O, D, va, vb, vc):
     edge2 = vc - va
     h = jnp.cross(D[:, None, :], edge2[None, :, :])      # [N,C,3]
     det = jnp.sum(edge1[None] * h, -1)                   # [N,C]
-    inv_det = 1.0 / det
+    det_ok = jnp.abs(det) >= EPSILON
+    inv_det = _safe_div(jnp.ones_like(det), det, det_ok)
     s = O[:, None, :] - va[None]                         # [N,C,3]
     u = jnp.sum(s * h, -1) * inv_det
     q = jnp.cross(s, edge1[None, :, :])

@@ -110,10 +110,18 @@ def reflect(i, n):
 
 
 def refract_glsl(i, n, eta):
-    """GLSL built-in refract: vec3(0) on TIR (see transforms.refract_glsl)."""
+    """GLSL built-in refract: vec3(0) on TIR (see transforms.refract_glsl).
+
+    The sqrt operand is where-guarded away from 0 on non-refracting
+    lanes: d(sqrt)/dk is infinite at k == 0 and reverse-mode propagates
+    the untaken-branch NaN through the TIR jnp.where — eta (the IOR
+    slider) is a differentiable input, so the gradient path is live.
+    Forward values are identical (guarded lanes output vec3(0) anyway)."""
     ndi = dot(n, i)
     k = 1.0 - eta * eta * (1.0 - ndi * ndi)
-    c = eta * ndi + jnp.sqrt(jnp.maximum(k, 0.0))
+    refr = k > 0.0
+    k_safe = jnp.where(refr, k, 1.0)
+    c = eta * ndi + jnp.where(refr, jnp.sqrt(k_safe), 0.0)
     out = (eta * i[0] - c * n[0], eta * i[1] - c * n[1],
            eta * i[2] - c * n[2])
     tir = k < 0.0

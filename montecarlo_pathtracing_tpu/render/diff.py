@@ -58,19 +58,32 @@ def apply_params(scene: DeviceScene, p: SceneParams) -> DeviceScene:
     return dataclasses.replace(scene, color=p.color, mat=mat)
 
 
-@partial(jax.jit, static_argnames=("n_passes", "nb_bounces", "integrator"))
+def _auto_fast() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+@partial(jax.jit, static_argnames=("n_passes", "nb_bounces", "integrator",
+                                   "use_pallas", "pallas_interpret"))
 def render_mean(scene: DeviceScene, params: SceneParams, origin, dirs, tc,
                 n_passes: int, nb_bounces: int,
-                integrator: str = "montecarlo"):
+                integrator: str = "montecarlo",
+                use_pallas: bool = False, pallas_interpret: bool = False):
     """Mean of n_passes progressive passes — the differentiable render.
-    dirs/tc: [N,3]/[N,2] flattened rays. Returns [N,3]."""
+    dirs/tc: [N,3]/[N,2] flattened rays. Returns [N,3].
+
+    use_pallas routes through the fused trace kernels with the trace
+    DETACHED from the AD graph (no kernel VJP needed; exact for
+    color/mat/light gradients, drops only the geometric IOR term — see
+    models/montecarlo._trace_dispatch). The dense path keeps the full
+    IOR gradient and remains the CPU/oracle-parity reference."""
     fn = get_integrator(integrator)
     scene = apply_params(scene, params)
 
     def body(k, acc):
         rgb = fn(scene, origin, dirs, tc, k,
                  nb_bounces=nb_bounces, refract_ind=params.refract_ind,
-                 detach_sampling=True)
+                 detach_sampling=True, use_pallas=use_pallas,
+                 pallas_interpret=pallas_interpret)
         return acc + rgb
 
     acc = jax.lax.fori_loop(0, n_passes, body,
@@ -79,13 +92,18 @@ def render_mean(scene: DeviceScene, params: SceneParams, origin, dirs, tc,
 
 
 def pixel_grads(scene, params, origin, dirs, tc, *, n_passes=1,
-                nb_bounces=3, integrator="montecarlo"):
+                nb_bounces=3, integrator="montecarlo",
+                use_pallas: bool | None = None):
     """Gradient of the mean pixel luminance w.r.t. every scene parameter —
     the 'pixel-grad' quantity checked against the CPU reference
-    (BASELINE.json metric)."""
+    (BASELINE.json metric). use_pallas None = auto (fast kernels on
+    TPU)."""
+    if use_pallas is None:
+        use_pallas = _auto_fast()
+
     def mean_lum(p):
         img = render_mean(scene, p, origin, dirs, tc, n_passes, nb_bounces,
-                          integrator)
+                          integrator, use_pallas)
         return img.mean()
 
     return jax.grad(mean_lum)(params)
@@ -95,7 +113,8 @@ def inverse_render_fit(scene, target, origin, dirs, tc, *, prim_ids,
                        steps=100, lr=5e-2, n_passes=2, nb_bounces=3,
                        fit_albedo=True, fit_alpha=False, fit_mat_cols=(),
                        fit_ior=False, fit_light=False,
-                       seed_params=None, verbose=False):
+                       seed_params=None, verbose=False,
+                       use_pallas: bool | None = None):
     """BASELINE config 4: recover the albedo/roughness (and optionally IOR)
     of the prims in `prim_ids` from a target image by Adam descent.
     Only the selected prims' color/mat rows receive updates (a mask is
@@ -123,8 +142,12 @@ def inverse_render_fit(scene, target, origin, dirs, tc, *, prim_ids,
     color_mask = row_mask * jnp.asarray(color_ch)
     mat_mask = row_mask * jnp.asarray(mat_ch)
 
+    if use_pallas is None:
+        use_pallas = _auto_fast()
+
     def loss_fn(p):
-        img = render_mean(scene, p, origin, dirs, tc, n_passes, nb_bounces)
+        img = render_mean(scene, p, origin, dirs, tc, n_passes, nb_bounces,
+                          "montecarlo", use_pallas)
         return jnp.mean((img - target) ** 2)
 
     opt = optax.adam(lr)

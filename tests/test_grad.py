@@ -157,3 +157,44 @@ def test_grad_matches_cpu_oracle_fd(setup):
     assert analytic != 0.0
     assert abs(analytic - fd) <= 0.15 * max(abs(fd), 1e-3), (
         f"AD {analytic} vs oracle FD {fd}")
+
+
+def test_fast_path_grads_match_dense(setup):
+    """The Pallas-route gradient (trace detached from the AD graph) must
+    equal the dense-route gradient for every leaf whose value cannot
+    move the hit geometry: color, mat, light_scale. (IOR keeps only its
+    Schlick/attenuation term on the fast route — compared on an OPAQUE
+    scene here, where the geometric term is exactly zero and the two
+    routes must agree on refract_ind too.)"""
+    import numpy as np
+    from montecarlo_pathtracing_tpu.render.diff import (
+        params_of, pixel_grads)
+
+    dev, origin, dirs, tc = setup
+    p = params_of(dev, refract_ind=1.3)
+    g_dense = pixel_grads(dev, p, origin, dirs, tc, n_passes=2,
+                          nb_bounces=5, use_pallas=False)
+    # interpret mode: same kernel semantics without a TPU
+    from montecarlo_pathtracing_tpu.render.diff import render_mean
+    import jax
+
+    def mean_lum(pp):
+        img = render_mean(dev, pp, origin, dirs, tc, 2, 5, "montecarlo",
+                          True, True)
+        return img.mean()
+
+    g_fast = jax.grad(mean_lum)(p)
+    np.testing.assert_allclose(np.asarray(g_fast.color),
+                               np.asarray(g_dense.color),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_fast.mat),
+                               np.asarray(g_dense.mat),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_fast.light_scale),
+                               np.asarray(g_dense.light_scale),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_fast.refract_ind),
+                               np.asarray(g_dense.refract_ind),
+                               rtol=1e-4, atol=1e-7)
+    # and the gradient must be nonzero somewhere (vacuity guard)
+    assert float(np.abs(np.asarray(g_dense.color)).max()) > 0
