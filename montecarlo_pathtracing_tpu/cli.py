@@ -70,6 +70,14 @@ def main(argv=None):
                          "saved on completion")
     rp.add_argument("--checkpoint-every", type=int, default=0,
                     help="save the checkpoint every N passes")
+    rp.add_argument("--distributed", action="store_true",
+                    help="multi-host sample-DP render (jax.distributed; "
+                         "see parallel/launcher.py)")
+    rp.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (or "
+                         "JAX_COORDINATOR_ADDRESS)")
+    rp.add_argument("--num-processes", type=int, default=None)
+    rp.add_argument("--process-id", type=int, default=None)
 
     sub.add_parser("scenes", help="list built-in scenes")
 
@@ -98,6 +106,12 @@ def main(argv=None):
     if getattr(args, "cpu", False):
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    if getattr(args, "distributed", False):
+        # must run before anything touches the backend (scene compile)
+        from .parallel.launcher import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
 
     if args.cmd == "sampling":
         from .models.draw_sampling import save_sampling_png
@@ -141,15 +155,35 @@ def main(argv=None):
         jax.block_until_ready(r._acc)
         dt = time.time() - t0
         rays = cfg.render_width * cfg.render_height * args.spp * args.bounces
+        target = 30e6   # fallback when no measured baseline exists
+        bl = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "benchmarks", "baseline_cpu.json")
+        try:
+            with open(bl) as f:
+                target = 10.0 * float(json.load(f)["rays_per_s"])
+        except (OSError, KeyError, ValueError):
+            pass
         print(json.dumps({
             "metric": f"rays_per_s_{args.scene}",
             "value": round(rays / dt, 1),
             "unit": "rays/s",
-            "vs_baseline": round(rays / dt / 30e6, 3),
+            "vs_baseline": round(rays / dt / target, 3),
         }))
         return 0
 
     # render
+    if args.distributed:
+        import jax
+        from .parallel.launcher import run_multihost_render
+        from .utils.image import write_png
+        img = run_multihost_render(
+            r, args.spp, checkpoint=args.checkpoint,
+            checkpoint_every=args.checkpoint_every or 64)
+        if jax.process_index() == 0:
+            write_png(args.out, img)
+            print(args.out)
+        return 0
+
     if args.checkpoint and os.path.exists(args.checkpoint):
         r.load_checkpoint(args.checkpoint)
         print(f"resumed at pass {r.nb_passes}", file=sys.stderr)
