@@ -36,6 +36,13 @@ REF_CAPTURE_ORDER = [
 ]
 REF_DIR = "/root/reference/captures"
 
+# per-scene orbit poses approximating the reference captures' trackball
+# state (the default head-on pose puts a column in front of the colonnes
+# camera; the capture looks down the colonnade)
+POSES = {
+    "colonnes": dict(yaw=10.0, pitch=-5.0, zoom=0.6),
+}
+
 
 def read_png(path):
     """Minimal PNG reader (8-bit RGB/RGBA, non-interlaced)."""
@@ -120,7 +127,7 @@ def main():
     ap.add_argument("--spp", type=int, default=256)
     ap.add_argument("--light", type=float, default=0.4)
     ap.add_argument("--ior", type=float, default=1.0)
-    ap.add_argument("--bounces", type=int, default=6)
+    ap.add_argument("--bounces", type=int, default=9)
     ap.add_argument("--quick", action="store_true",
                     help="200x150 @ 16 spp smoke mode")
     ap.add_argument("--scenes", nargs="*", default=None)
@@ -147,12 +154,15 @@ def main():
               "scenes": {}}
 
     names = args.scenes or list(scenes.SCENES)
+    from montecarlo_pathtracing_tpu.render.camera import default_rt_camera
     for name in names:
         t0 = time.perf_counter()
         dev = compile_scene(scenes.build(name, light_intensity=args.light))
+        proj, view = default_rt_camera(w, h, **POSES.get(name, {}))
         r = Renderer(dev, RenderConfig(
             width=w, height=h, nb_bounces=args.bounces,
-            refract_ind=args.ior, use_pallas=on_tpu, tile_rays=1 << 17))
+            refract_ind=args.ior, use_pallas=on_tpu, tile_rays=1 << 17),
+            proj, view)
         img = r.run(spp)
         png = os.path.join(args.out, f"{name}.png")
         r.save_png(png)
@@ -178,9 +188,17 @@ def main():
         report["scenes"][name] = entry
         print(name, entry, flush=True)
 
-    with open(os.path.join(args.out, "gallery.json"), "w") as f:
+    # merge partial runs (--scenes ...) into an existing gallery.json
+    gpath = os.path.join(args.out, "gallery.json")
+    if args.scenes and os.path.exists(gpath):
+        with open(gpath) as f:
+            old = json.load(f)
+        old["scenes"].update(report["scenes"])
+        old["config"] = report["config"]
+        report = old
+    with open(gpath, "w") as f:
         json.dump(report, f, indent=1)
-    print("wrote", os.path.join(args.out, "gallery.json"))
+    print("wrote", gpath)
 
 
 if __name__ == "__main__":
