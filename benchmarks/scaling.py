@@ -1,0 +1,102 @@
+"""Scaling-efficiency harness: rays/s vs device count.
+
+BASELINE.md's distributed target is ">=85% rays/s scaling efficiency
+from 1 chip to N>=2 hosts". This harness measures per-pass wall time of
+the SAME render at shard_devices = 1, 2, 4, ... over whatever devices
+the process sees and reports efficiency = (rays/s at N) / (N x rays/s
+at 1).
+
+On real multi-chip hardware this is the target metric. On the virtual
+CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8, how this
+repo's CI runs) the numbers validate the sharded program structure —
+partitioned compile, zero per-pass collectives — but NOT true scaling,
+since all "devices" share one physical CPU; the report says which kind
+it measured. Determinism across shardings is asserted separately in
+tests/test_sharding.py (bit-identical images).
+
+    python benchmarks/scaling.py [--scene colonnes] [--devices 1 2 4 8]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="box_diffuse")
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=600)
+    ap.add_argument("--bounces", type=int, default=3)
+    ap.add_argument("--passes", type=int, default=8)
+    ap.add_argument("--devices", type=int, nargs="*", default=None)
+    ap.add_argument("--cpu-virtual", type=int, default=0,
+                    help="force a virtual CPU mesh of this many devices")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu_virtual:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_virtual)
+    import jax.numpy as jnp
+
+    from montecarlo_pathtracing_tpu.scene import scenes
+    from montecarlo_pathtracing_tpu.scene.device import compile_scene
+    from montecarlo_pathtracing_tpu.render.renderer import (
+        RenderConfig, Renderer)
+
+    ndev = len(jax.devices())
+    counts = args.devices or [n for n in (1, 2, 4, 8, 16, 32)
+                              if n <= ndev]
+    platform = jax.devices()[0].platform
+    w, h = args.width, args.height
+    rays = w * h * args.passes * args.bounces
+    report = {
+        "platform": platform,
+        "devices_visible": ndev,
+        "virtual_cpu_mesh": bool(args.cpu_virtual),
+        "scene": args.scene,
+        "config": {"width": w, "height": h, "bounces": args.bounces,
+                   "passes": args.passes},
+        "points": [],
+    }
+    base = None
+    for n in counts:
+        dev = compile_scene(scenes.build(args.scene))
+        r = Renderer(dev, RenderConfig(
+            width=w, height=h, nb_bounces=args.bounces,
+            tile_rays=1 << 17, use_pallas=platform == "tpu",
+            shard_devices=n if n > 1 else 0, passes_per_call=1))
+        r.render_pass()
+        float(jnp.sum(r._acc))             # sync
+        t0 = time.perf_counter()
+        for _ in range(args.passes):
+            r.render_pass()
+        float(jnp.sum(r._acc))
+        dt = time.perf_counter() - t0
+        rps = rays / dt
+        if base is None:
+            base = rps
+        eff = rps / (base * n)
+        report["points"].append({
+            "devices": n, "rays_per_s": round(rps, 1),
+            "efficiency_vs_1": round(eff, 3),
+        })
+        print(report["points"][-1], flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print("wrote", args.out)
+    else:
+        print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
