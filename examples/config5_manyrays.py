@@ -64,9 +64,13 @@ def main():
                        refract_ind=1.0, use_pallas=on_tpu,
                        tile_rays=1 << 17, passes_per_call=8)
     scene = scenes.build("colonnes", light_intensity=1.2)
+    from montecarlo_pathtracing_tpu.render.camera import default_rt_camera
+    # the gallery's colonnade pose (examples/render_gallery.py POSES)
+    proj, view = default_rt_camera(cfg.render_width, cfg.render_height,
+                                   yaw=10.0, pitch=-5.0, zoom=0.6)
 
     def make():
-        return Renderer(compile_scene(scene), cfg)
+        return Renderer(compile_scene(scene), cfg, proj, view)
 
     half = spp // 2
     t0 = time.perf_counter()

@@ -58,6 +58,7 @@ TILE_ROWS = 32             # rays per tile = TILE_ROWS * 128
 LANES = 128
 MEGA_MAX_PRIMS = 1024      # SMEM table cap: 38 * 1024 * 4B = 152 KB
 MEGA_CULL_MIN_PRIMS = 64   # per-prim AABB culling pays for itself above this
+MEGA_SUPER = 16            # prims per super-box (the outer culling level)
 
 U32 = jnp.uint32
 _ADV0 = np.uint32(_rng.ADVANCE[0])
@@ -175,7 +176,7 @@ def _safe_rcp(x):
     return sgn / jnp.maximum(jnp.abs(x), tiny)
 
 
-def _trace_fold(groups, tab, o, d, n_prev, p_prev, scr, cull):
+def _trace_fold(groups, tab, sbb, o, d, n_prev, p_prev, scr, cull):
     """Fold every analytic prim into per-ray winner ATTRIBUTES.
 
     groups: static ((shape_code, start, count), ...); tab: SMEM [38, P]
@@ -299,6 +300,9 @@ def _trace_fold(groups, tab, o, d, n_prev, p_prev, scr, cull):
             ca_s[...] = jnp.where(take, tab[30, c], ca)
 
         def body(p, _):
+            # p may be a clamped re-test of the group's last real prim
+            # (super-loop edge); equal candidates never replace the
+            # strictly-closer winner, so that is harmless by design
             c = start + p
             ok = tab[31, c] > 0.0          # group-padding columns never hit
             if cull:
@@ -329,9 +333,48 @@ def _trace_fold(groups, tab, o, d, n_prev, p_prev, scr, cull):
 
         return body
 
-    for code, start, count in groups:
+    for code, start, count, sstart in groups:
         body = make_body(code, start, _SOA_FNS[code])
-        jax.lax.fori_loop(0, count, body, 0)
+        if not cull:
+            jax.lax.fori_loop(0, count, body, 0)
+            continue
+
+        # two-level frontier: a MEGA_SUPER-prim super-box (sbb SMEM,
+        # _mega_super_boxes) gates its prims' box tests and bodies —
+        # rays that miss a whole Morton region pay ONE slab test for 16
+        # prims (intersect_bvh's internal-node skip, the TPU way)
+        nsup = -(-count // MEGA_SUPER)
+
+        def super_body(sp, _, start=start, count=count, sstart=sstart,
+                      body=body):
+            sc = sstart + sp
+            t0x = (sbb[0, sc] - o[0]) * rdx
+            t1x = (sbb[3, sc] - o[0]) * rdx
+            t0y = (sbb[1, sc] - o[1]) * rdy
+            t1y = (sbb[4, sc] - o[1]) * rdy
+            t0z = (sbb[2, sc] - o[2]) * rdz
+            t1z = (sbb[5, sc] - o[2]) * rdz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x),
+                            jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x),
+                            jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z))
+            shit = (tmax >= tmin) & (tmin <= bd_s[...])
+
+            @pl.when(jnp.any(shit))
+            def _():
+                jax.lax.fori_loop(
+                    0, MEGA_SUPER,
+                    lambda j, __: body(
+                        jnp.minimum(sp * MEGA_SUPER + j, count - 1), __),
+                    0)
+
+            return 0
+
+        jax.lax.fori_loop(0, nsup, super_body, 0)
     bd = bd_s[...]
     is_hit = bd < FLT_MAX
     return (is_hit, (nx_s[...], ny_s[...], nz_s[...]),
@@ -346,7 +389,7 @@ def _trace_fold(groups, tab, o, d, n_prev, p_prev, scr, cull):
 
 def _mega_kernel(groups, nb_bounces, has_transparent, cull,
                  dx_ref, dy_ref, dz_ref, u_ref, v_ref,
-                 fpar_ref, upar_ref, tab_ref,
+                 fpar_ref, upar_ref, tab_ref, sbb_ref,
                  r_ref, g_ref, b_ref, *scr):
     d = (dx_ref[...], dy_ref[...], dz_ref[...])
     z = jnp.zeros_like(d[0])
@@ -371,7 +414,7 @@ def _mega_kernel(groups, nb_bounces, has_transparent, cull,
     def bounce(o, d, attenu, total, result, done_i, state):
         done = done_i != 0
         is_hit, N, P, shin, rough, emis, col3, alpha = _trace_fold(
-            groups, tab_ref, o, d, unit_z,
+            groups, tab_ref, sbb_ref, o, d, unit_z,
             (o[0] + d[0], o[1] + d[1], o[2] + d[2]), scr, cull)
 
         active = ~done
@@ -440,7 +483,7 @@ def _mega_kernel(groups, nb_bounces, has_transparent, cull,
                            (P[0] - BIAS * N[0], P[1] - BIAS * N[1],
                             P[2] - BIAS * N[2]), o)
             _, N2r, P2r, *_unused = _trace_fold(
-                groups, tab_ref, o_in, d_in, N, P, scr, cull)
+                groups, tab_ref, sbb_ref, o_in, d_in, N, P, scr, cull)
             N2 = _vwhere(refr_lane, N2r, unit_z)
             P2 = _vwhere(refr_lane, P2r, P)
             d_exit = _refract_glsl(d_in, (-N2[0], -N2[1], -N2[2]), 1.0 / ior)
@@ -503,14 +546,42 @@ def mega_eligible(scene) -> bool:
 
 
 def _mega_meta(scene):
-    """Static ((code, start, count), ...) over the scene's typed groups."""
+    """Static ((code, start, count, super_start), ...) over the scene's
+    typed groups; super_start indexes the per-group 16-prim super-box
+    table (built by _mega_super_boxes, aligned with this layout)."""
     groups = []
     start = 0
+    sstart = 0
     for gi, code in enumerate(scene.group_codes):
         count = int(scene.group_prim[gi].shape[0])
-        groups.append((int(code), start, count))
+        groups.append((int(code), start, count, sstart))
         start += count
+        sstart += -(-count // MEGA_SUPER)
     return tuple(groups), start
+
+
+def _mega_super_boxes(scene):
+    """[6, n_supers] world AABBs over MEGA_SUPER-prim windows of each
+    (Morton-ordered) group — the outer level of the megakernel's
+    frontier culling. Padding prims contribute empty boxes."""
+    cols = []
+    for gi in range(len(scene.group_codes)):
+        pid = scene.group_prim[gi]
+        ok = (pid >= 0)[:, None]
+        bmn = jnp.where(ok, jnp.take(scene.prim_bb_min, pid, axis=0),
+                        np.float32(3e38))
+        bmx = jnp.where(ok, jnp.take(scene.prim_bb_max, pid, axis=0),
+                        np.float32(-3e38))
+        n = bmn.shape[0]
+        pad = -(-n // MEGA_SUPER) * MEGA_SUPER
+        bmn = jnp.concatenate(
+            [bmn, jnp.full((pad - n, 3), 3e38, jnp.float32)])
+        bmx = jnp.concatenate(
+            [bmx, jnp.full((pad - n, 3), -3e38, jnp.float32)])
+        smn = bmn.reshape(-1, MEGA_SUPER, 3).min(axis=1)   # [S,3]
+        smx = bmx.reshape(-1, MEGA_SUPER, 3).max(axis=1)
+        cols.append(jnp.concatenate([smn, smx], axis=1))   # [S,6]
+    return jnp.concatenate(cols, axis=0).T                 # [6, S_total]
 
 
 def _mega_table(scene):
@@ -540,7 +611,7 @@ def _mega_table(scene):
 @functools.partial(
     jax.jit, static_argnames=("groups", "nb_bounces", "has_transparent",
                               "cull", "interpret"))
-def _mega_call(d_rows, u, v, fpar, upar, tab, groups, nb_bounces,
+def _mega_call(d_rows, u, v, fpar, upar, tab, sbb, groups, nb_bounces,
                has_transparent, cull=False, interpret=False):
     m = d_rows.shape[1]
     grid = (m // TILE_ROWS,)
@@ -554,7 +625,8 @@ def _mega_call(d_rows, u, v, fpar, upar, tab, groups, nb_bounces,
         kernel,
         grid=grid,
         in_specs=[blk, blk, blk, blk, blk,
-                  smem((1, 4)), smem((1, 1)), smem(tab.shape)],
+                  smem((1, 4)), smem((1, 1)), smem(tab.shape),
+                  smem(sbb.shape)],
         out_specs=[blk, blk, blk],
         out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 3,
         # 14 winner-attribute scratch buffers shared by the per-bounce
@@ -563,7 +635,7 @@ def _mega_call(d_rows, u, v, fpar, upar, tab, groups, nb_bounces,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(d_rows[0], d_rows[1], d_rows[2], u, v, fpar, upar, tab)
+    )(d_rows[0], d_rows[1], d_rows[2], u, v, fpar, upar, tab, sbb)
     return r, g, b
 
 
@@ -600,7 +672,8 @@ def raytrace_mega(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
 
     groups, total = _mega_meta(scene)
     tab = _mega_table(scene)
-    r, g, b = _mega_call(d_rows, u, v, fpar, upar, tab, groups,
+    sbb = _mega_super_boxes(scene)
+    r, g, b = _mega_call(d_rows, u, v, fpar, upar, tab, sbb, groups,
                          int(nb_bounces), scene.has_transparent,
                          cull=total >= MEGA_CULL_MIN_PRIMS,
                          interpret=interpret)

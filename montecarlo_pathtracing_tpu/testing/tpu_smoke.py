@@ -129,6 +129,39 @@ def _smoke_megakernel_transparent():
     jax.block_until_ready(rgb)
 
 
+def _smoke_megakernel_culled():
+    """Compile the two-level per-prim-culled megakernel (>=64 prims
+    activates it) through the REAL pipeline and assert the image matches
+    the dense XLA integrator — the real-compile guard for mispredicated
+    @pl.when bodies (pads are ok-flag-masked and indices clamped, so
+    even a Mosaic mispredication must not change winners)."""
+    import numpy as np
+    from ..scene import scenes
+    from ..scene.device import compile_scene
+    from ..models.megakernel import raytrace_mega, TILE_ROWS, LANES
+    from ..models.montecarlo import raytrace
+
+    dev = compile_scene(scenes.build("materials"))
+    assert dev.nb_prims >= 64, "fixture must activate the per-prim cull"
+    n = TILE_ROWS * LANES
+    rs = np.random.RandomState(3)
+    D = rs.normal(size=(n, 3)).astype(np.float32)
+    D /= np.linalg.norm(D, axis=-1, keepdims=True)
+    D = jnp.asarray(D)
+    tc = jnp.asarray(rs.uniform(0, 1, (n, 2)).astype(np.float32))
+    O = jnp.array([0.0, -40.0, 100.0], jnp.float32)
+    got = np.asarray(raytrace_mega(dev, O, D, tc, 0, nb_bounces=3,
+                                   refract_ind=1.2))
+    ref = np.asarray(raytrace(dev, O, D, tc, 0, nb_bounces=3,
+                              refract_ind=jnp.float32(1.2),
+                              use_pallas=False, use_megakernel=False))
+    close = np.all(np.abs(got - ref) <= 1e-3 + 1e-3 * np.abs(ref), -1)
+    if close.mean() <= 0.98:
+        raise AssertionError(
+            f"culled megakernel diverges from dense on real compile "
+            f"(match {close.mean():.3f})")
+
+
 SMOKES = (
     ("group_best_rows", _smoke_group_plain),
     ("group_best_rows[culled]", _smoke_group_culled),
@@ -136,6 +169,7 @@ SMOKES = (
     ("mesh_best_rows[culled]", _smoke_mesh_culled),
     ("megakernel", _smoke_megakernel),
     ("megakernel[transparent]", _smoke_megakernel_transparent),
+    ("megakernel[culled]", _smoke_megakernel_culled),
 )
 
 
