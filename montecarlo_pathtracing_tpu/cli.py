@@ -155,19 +155,35 @@ def main(argv=None):
         jax.block_until_ready(r._acc)
         dt = time.time() - t0
         rays = cfg.render_width * cfg.render_height * args.spp * args.bounces
-        target = 30e6   # fallback when no measured baseline exists
-        bl = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "benchmarks", "baseline_cpu.json")
+        # Denominator: the measured CPU baseline for THIS scene if the
+        # per-scene file has it, else the single-scene box_diffuse
+        # measurement, else a documented fallback. The JSON names the
+        # denominator and its source so the ratio is interpretable on a
+        # machine where the checked-in measurement doesn't apply
+        # (benchmarks/baseline_cpu.json was measured on a 2-vCPU host).
+        bdir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "benchmarks")
+        base_rays_s, base_src = 3e6, "fallback(3e6 rays/s assumed CPU rate)"
         try:
-            with open(bl) as f:
-                target = 10.0 * float(json.load(f)["rays_per_s"])
+            with open(os.path.join(bdir, "baseline_per_scene.json")) as f:
+                per_scene = json.load(f)["scenes"]
+            base_rays_s = float(per_scene[args.scene]["rays_per_s"])
+            base_src = "benchmarks/baseline_per_scene.json"
         except (OSError, KeyError, ValueError):
-            pass
+            try:
+                with open(os.path.join(bdir, "baseline_cpu.json")) as f:
+                    base_rays_s = float(json.load(f)["rays_per_s"])
+                base_src = "benchmarks/baseline_cpu.json (box_diffuse only)"
+            except (OSError, KeyError, ValueError):
+                pass
+        target = 10.0 * base_rays_s     # BASELINE.md: >=10x CPU rays/s
         print(json.dumps({
             "metric": f"rays_per_s_{args.scene}",
             "value": round(rays / dt, 1),
             "unit": "rays/s",
             "vs_baseline": round(rays / dt / target, 3),
+            "baseline_rays_per_s": base_rays_s,
+            "baseline_source": base_src,
         }))
         return 0
 
@@ -189,9 +205,12 @@ def main(argv=None):
         print(f"resumed at pass {r.nb_passes}", file=sys.stderr)
     t0 = time.time()
     while r.nb_passes < args.spp:
-        r.render_pass()
-        if (args.checkpoint and args.checkpoint_every
-                and r.nb_passes % args.checkpoint_every == 0):
+        if args.checkpoint and args.checkpoint_every:
+            target = min(args.spp, r.nb_passes + args.checkpoint_every)
+        else:
+            target = args.spp
+        r.run(target)          # batched multi-pass dispatch
+        if args.checkpoint and args.checkpoint_every:
             r.save_checkpoint(args.checkpoint)
     import jax
     jax.block_until_ready(r._acc)

@@ -74,7 +74,6 @@ def run_multihost_render(renderer, spp: int, checkpoint: str | None = None,
     returns the same array).
     """
     import numpy as np
-    import jax.numpy as jnp
 
     pid, nproc = jax.process_index(), jax.process_count()
     base = pid * spp // nproc
@@ -95,10 +94,10 @@ def run_multihost_render(renderer, spp: int, checkpoint: str | None = None,
         acc = np.asarray(parts).sum(axis=0)       # process-ascending order
     else:
         acc = np.asarray(renderer._acc)
-    w = renderer.config.render_width
-    h = renderer.config.render_height
-    flat = acc.reshape(-1, 3)[: renderer._npix]
-    return (flat / max(1, spp)).reshape(h, w, 3)
+    # Resolve through the renderer so the block32 pixel permutation is
+    # inverted exactly as in Renderer.image() (round-2 bug: reshaping the
+    # raw accumulator scrambled any image wider than one 32-px block).
+    return renderer.resolve(acc, passes=spp)
 
 
 def run_distributed_render(renderer, spp: int, checkpoint: str | None,

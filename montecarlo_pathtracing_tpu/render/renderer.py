@@ -279,10 +279,18 @@ class Renderer:
             self.nb_passes += 1
 
     def run(self, spp: int):
-        """Render up to spp passes, using batched multi-pass calls."""
-        ppc = max(1, self.config.passes_per_call)
-        while self.nb_passes + ppc <= spp and self.config.paths_per_pass == 1:
-            if self._multi_fn is None:
+        """Render up to spp passes, using batched multi-pass calls.
+
+        The paths_per_pass knob (the reference's paths-per-frame slider,
+        montecarlo.cpp:454-466) folds into the same batched builder: a
+        "frame" of k paths is just k consecutive pass indices, so batching
+        them into one device call is accumulation-identical to k
+        sequential dispatches and gets the same dispatch amortization as
+        spp batching."""
+        ppc = max(max(1, self.config.passes_per_call),
+                  max(1, self.config.paths_per_pass))
+        while self.nb_passes + ppc <= spp:
+            if self._multi_fn is None or self._multi_n != ppc:
                 self._multi_n = ppc
                 self._multi_fn = self._build_pass_fn(ppc)
             self._acc = self._invoke(
@@ -296,13 +304,25 @@ class Renderer:
         jax.block_until_ready(self._acc)
         return self.image()
 
+    def resolve(self, acc=None, passes: int | None = None) -> np.ndarray:
+        """Resolve an accumulator into an image: undo the pixel-block
+        layout permutation, divide by the pass count (average.frag
+        analog). `acc` defaults to this renderer's accumulator; passing an
+        externally-summed accumulator (e.g. the cross-process sum in
+        parallel/launcher.run_multihost_render) keeps the inverse
+        permutation in ONE place so every resolve path agrees."""
+        w, h = self.config.render_width, self.config.render_height
+        if passes is None:
+            passes = self.nb_passes
+        a = np.asarray(self._acc if acc is None else acc)
+        a = a.reshape(-1, 3)[: self._npix]
+        a = a[self._inv_perm]              # undo the pixel-block layout
+        return (a / max(1, passes)).reshape(h, w, 3)
+
     def image(self) -> np.ndarray:
         """Resolve: accumulated sum / pass count (average.frag analog).
         Returns [H, W, 3] float32, row 0 = bottom."""
-        w, h = self.config.render_width, self.config.render_height
-        acc = np.asarray(self._acc).reshape(-1, 3)[: self._npix]
-        acc = acc[self._inv_perm]          # undo the pixel-block layout
-        return (acc / max(1, self.nb_passes)).reshape(h, w, 3)
+        return self.resolve()
 
     def save_png(self, path: str):
         write_png(path, self.image())
@@ -318,12 +338,24 @@ class Renderer:
         )
 
     def load_checkpoint(self, path: str):
+        """Resume from an .npz checkpoint. Configs are compared with
+        forward/backward compatibility: keys absent from the saved config
+        (written by an older build, before a RenderConfig field existed)
+        are filled with the field's default, and unknown saved keys are
+        ignored — so upgrading the framework does not orphan in-flight
+        checkpoints. Any remaining mismatch still rejects, because every
+        current field affects either the accumulator layout (width/height/
+        subsampling/pixel_order/tile_rays) or the accumulated radiance
+        itself (bounces/IOR/integrator/...)."""
         z = np.load(path, allow_pickle=False)
         saved = json.loads(str(z["config"]))
         current = asdict(self.config)
-        if saved != current:
+        merged = {k: saved.get(k, default) for k, default in current.items()}
+        if merged != current:
+            diff = {k: (merged[k], current[k]) for k in current
+                    if merged[k] != current[k]}
             raise ValueError(
-                f"checkpoint config mismatch: {saved} != {current}")
+                f"checkpoint config mismatch (saved, current): {diff}")
         self._acc = jnp.asarray(z["acc"])
         self.nb_passes = int(z["nb_passes"])
 

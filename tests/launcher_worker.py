@@ -42,7 +42,10 @@ def main():
         RenderConfig, Renderer)
 
     dev = compile_scene(scenes.build("box_diffuse"))
-    cfg = RenderConfig(width=32, height=24, nb_bounces=6,
+    # width > 32 so the default block32 pixel permutation is NON-trivial:
+    # the round-2 launcher bug (missing inverse permutation) was invisible
+    # at 32x24 because one block spans the whole width there.
+    cfg = RenderConfig(width=64, height=48, nb_bounces=6,
                        passes_per_call=1, tile_rays=1 << 10)
     r = Renderer(dev, cfg)
 

@@ -64,10 +64,39 @@ def _single_process_reference():
     from montecarlo_pathtracing_tpu.render.renderer import (
         RenderConfig, Renderer)
     dev = compile_scene(scenes.build("box_diffuse"))
-    cfg = RenderConfig(width=32, height=24, nb_bounces=6,
+    # 64x48 (must match launcher_worker.py): width > 32 makes block32 a
+    # real permutation, so this test catches a launcher that forgets the
+    # inverse permutation (the round-2 scrambled-image bug).
+    cfg = RenderConfig(width=64, height=48, nb_bounces=6,
                        passes_per_call=1, tile_rays=1 << 10)
     r = Renderer(dev, cfg)
     return r.run(SPP)
+
+
+def test_single_process_launcher_matches_renderer_image(tmp_path):
+    """run_multihost_render with nproc=1 must equal Renderer.image()
+    BIT-identically at a width > 32 — the in-process pin for the round-2
+    scrambled-image bug (launcher resolve skipped the inverse block32
+    permutation). No subprocesses, so it runs in the fast suite."""
+    import jax
+    from montecarlo_pathtracing_tpu.parallel.launcher import (
+        run_multihost_render)
+    from montecarlo_pathtracing_tpu.scene import scenes
+    from montecarlo_pathtracing_tpu.scene.device import compile_scene
+    from montecarlo_pathtracing_tpu.render.renderer import (
+        RenderConfig, Renderer)
+    if jax.process_count() != 1:
+        pytest.skip("needs a single-process backend")
+    dev = compile_scene(scenes.build("box_diffuse"))
+    cfg = RenderConfig(width=64, height=48, nb_bounces=3,
+                       passes_per_call=1, tile_rays=1 << 10)
+    r = Renderer(dev, cfg)
+    img = run_multihost_render(r, 2)
+    ref = r.image()
+    assert r.nb_passes == 2
+    np.testing.assert_array_equal(img, ref)
+    # and the permutation really is non-trivial at this size
+    assert not np.array_equal(r._inv_perm, np.arange(r._npix))
 
 
 @pytest.mark.slow
