@@ -72,13 +72,27 @@ def random_path_soa(scene, o, d, state, *, nb_bounces: int, refract_ind,
                     detach_sampling: bool = False, use_pallas: bool = False,
                     pallas_interpret: bool = False,
                     cull_chunks: bool | None = None,
-                    nondiff_trace: bool = False):
+                    nondiff_trace: bool = False,
+                    sort_rays: bool = False):
     """One path per lane, SoA. o, d: vec3 of [N] (d normalized), state:
-    (s0, s1, s2) uint32 [N]. Returns (rgb vec3, state)."""
+    (s0, s1, s2) uint32 [N]. Returns (rgb vec3, state).
+
+    sort_rays: re-sort the wavefront between bounces by (direction
+    octant, origin Morton) so secondary rays regain the tile coherence
+    the frontier culls need, and park terminated rays in tiles that cull
+    everything (ops/sort_rays.py). Per-lane math is permutation-
+    invariant, so results match the unsorted path exactly up to XLA
+    fusing fma differently between the two programs (measured <= 1 ulp;
+    the RNG streams and trace winners are identical)."""
     n = d[0].shape[0]
     z = jnp.zeros((n,), jnp.float32)
     one = jnp.ones((n,), jnp.float32)
     unit_z = (z, z, one)
+
+    if sort_rays:
+        from ..ops.sort_rays import (ray_sort_key, sort_wavefront, PARK_Z)
+        sort_lo = jnp.min(scene.prim_bb_min, axis=0)
+        sort_hi = jnp.max(scene.prim_bb_max, axis=0)
 
     # transposed material tables: [4, Nprims] so gathers give [4-ish, N]
     # rows with full lanes
@@ -91,8 +105,23 @@ def random_path_soa(scene, o, d, state, *, nb_bounces: int, refract_ind,
         return v
 
     def bounce(i, carry):
-        o, d, attenu, total, result, done, state = carry
+        o, d, attenu, total, result, done, state, lane = carry
         del i
+        if sort_rays:
+            # park finished rays outside every cull volume pointing away,
+            # then compact the wavefront into coherent bundles
+            o = vec.where(done, (z, z, jnp.full((n,), PARK_Z)), o)
+            d = vec.where(done, unit_z, d)
+            key = ray_sort_key(o, d, done, sort_lo, sort_hi)
+            flat = [*o, *d, *attenu, *total, *result,
+                    done, *state, lane]
+            _, flat = sort_wavefront(key, flat)
+            o, d = tuple(flat[0:3]), tuple(flat[3:6])
+            attenu, total = tuple(flat[6:9]), tuple(flat[9:12])
+            result = tuple(flat[12:15])
+            done = flat[15]
+            state = tuple(flat[16:19])
+            lane = flat[19]
         hit = _trace_dispatch(scene, o, d, use_pallas, pallas_interpret,
                               cull_chunks, nondiff_trace)
 
@@ -206,7 +235,7 @@ def random_path_soa(scene, o, d, state, *, nb_bounces: int, refract_ind,
         o = vec.where(cont, new_o, o)
         d = vec.where(cont, new_d, d)
         attenu = vec.where(cont, new_attenu, attenu)
-        return o, d, attenu, total, result, done, state
+        return o, d, attenu, total, result, done, state, lane
 
     init = (
         o, d,
@@ -215,11 +244,19 @@ def random_path_soa(scene, o, d, state, *, nb_bounces: int, refract_ind,
         (z, z, z),                                  # result
         jnp.zeros((n,), bool),
         state,
+        jnp.arange(n, dtype=jnp.int32),             # original lane id
     )
     carry = jax.lax.fori_loop(0, nb_bounces, bounce, init)
-    _, _, _, _, result, done, state = carry
+    _, _, _, _, result, done, state, lane = carry
     # bounce-cap exhaustion returns black (:178)
-    return vec.where(done, result, (z, z, z)), state
+    rgb = vec.where(done, result, (z, z, z))
+    if sort_rays:
+        # undo the accumulated bounce permutations: scatter by lane id
+        rgb = tuple(jnp.zeros((n,), jnp.float32).at[lane].set(c)
+                    for c in rgb)
+        state = tuple(jnp.zeros((n,), jnp.uint32).at[lane].set(s)
+                      for s in state)
+    return rgb, state
 
 
 def raytrace(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
@@ -227,7 +264,8 @@ def raytrace(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
              use_pallas: bool = False, pallas_interpret: bool = False,
              use_megakernel: bool | None = None,
              cull_chunks: bool | None = None,
-             nondiff_trace: bool | None = None):
+             nondiff_trace: bool | None = None,
+             sort_rays: bool | None = None):
     """tp/montecarlo.frag:182-188: srand + one random path per lane.
 
     AoS boundary: O [3], D [N,3], screen_tc [N,2] in; rgb [N,3] out. Rays
@@ -253,6 +291,13 @@ def raytrace(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
         return raytrace_mega(
             scene, O, D, screen_tc, pass_index, nb_bounces=nb_bounces,
             refract_ind=refract_ind, date=date, interpret=pallas_interpret)
+    if sort_rays is None:
+        # auto: the sorted wavefront pays off exactly where the tile
+        # frontier culls need coherence — the fast (Pallas) route on
+        # multi-bounce renders; the dense route and gradients keep the
+        # simple layout (and stay the bit-exact unsorted reference)
+        sort_rays = (bool(use_pallas) and not detach_sampling
+                     and nb_bounces > 1)
     n = D.shape[0]
     pad = n
     if use_pallas:
@@ -275,5 +320,5 @@ def raytrace(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
         nb_bounces=nb_bounces, refract_ind=refract_ind,
         detach_sampling=detach_sampling, use_pallas=use_pallas,
         pallas_interpret=pallas_interpret, cull_chunks=cull_chunks,
-        nondiff_trace=nondiff_trace)
+        nondiff_trace=nondiff_trace, sort_rays=sort_rays)
     return vec.to_aos(rgb)[:n]
