@@ -1,0 +1,299 @@
+"""Block-sparse Pallas trace kernels driven by precomputed worklists.
+
+The companions to ops/worklist.py: instead of looping every primitive
+chunk inside the kernel and voting with `@pl.when(jnp.any(boxhit))`
+(round 2 — coarse, and Mosaic-compile-hostile), the grid IS the
+worklist: one grid step per (ray tile, primitive block) pair that the
+XLA-side frustum test admitted. Scalar-prefetched (tile_id, block_id)
+arrays drive the BlockSpec index maps — the same pattern as block-sparse
+attention. Outputs are indexed by tile_id, revisited consecutively
+(worklists are tile-sorted), and initialized on tile change.
+
+Two kernels:
+
+- analytic groups: scalar-prim fold (megakernel style — one prim's
+  affine coefficients from SMEM broadcast over a 1024-ray tile) over
+  SUP=8-prim blocks. Finer culling granularity than the 128-lane chunk
+  kernels (a work block is 8 prims, not 128) — the per-prim answer to
+  intersect_bv pruning (shaders/raytracer_func.frag:314-352).
+- mesh triangles: the Moller-Trumbore [T, C] fold of ops/pallas_trace.py
+  over 128-triangle chunks, but with 256-ray tiles (4x finer votes) and
+  zero in-kernel traversal logic (Mesh_intersect / intersect_bvm analog,
+  raytracer_func.frag:642-678).
+
+Winner parity: worklists are conservative supersets of the per-ray
+chunk hits (ops/worklist.py), blocks are visited in ascending order
+within a tile, and the fold is strictly-closer — identical winners to
+the brute kernels (asserted in tests/test_sparse_trace.py). On worklist
+overflow (budget exceeded — an unsorted incoherent wavefront) the
+wrappers fall back to the brute kernels via lax.cond.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import EPSILON, FLT_MAX
+from .pallas_trace import _SOA_FNS, PRIM_CHUNK, _round_up
+from .worklist import tile_bundles, bundle_box_votes, build_worklist
+
+SUP = 8             # prims per analytic work block
+AN_TILE = 1024      # rays per analytic tile (8 sublanes x 128 lanes)
+AN_ROWS = AN_TILE // 128
+MESH_TILE = 256     # rays per mesh tile (sublane-major [T, C] layout)
+
+# worklist budgets (work items per tile, incl. the sentinel); overflow
+# falls back to the brute kernel
+AN_BUDGET = 32
+MESH_BUDGET = 24
+
+
+# ---------------------------------------------------------------------------
+# analytic groups: scalar-prim fold over SUP-prim worklist blocks
+# ---------------------------------------------------------------------------
+
+def _an_kernel(shape_code, tid_ref, bid_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tab_ref,
+               dist_ref, row_ref, a_ref, dir_ref):
+    """One (1024-ray tile, 8-prim block) work item.
+
+    tab_ref: SMEM [25, ppad] — rows 0-11 inverse affine, 12-23 forward
+    affine, 24 ok flag (0 = group padding, never hits). Outputs match
+    group_best_rows: (dist, group row, local a, dircode) per ray."""
+    fn = _SOA_FNS[shape_code]
+    w = pl.program_id(0)
+    tid = tid_ref[w]
+    bid = bid_ref[w]
+    first = jnp.logical_or(w == 0, tid_ref[jnp.maximum(w - 1, 0)] != tid)
+
+    @pl.when(first)
+    def _():
+        dist_ref[...] = jnp.full_like(dist_ref[...], FLT_MAX)
+        row_ref[...] = jnp.full_like(row_ref[...], -1)
+        a_ref[...] = jnp.zeros_like(a_ref[...])
+        dir_ref[...] = jnp.full_like(dir_ref[...], -1)
+
+    @pl.when(bid >= 0)
+    def _():
+        o = (ox_ref[...], oy_ref[...], oz_ref[...])     # [AN_ROWS, 128]
+        d = (dx_ref[...], dy_ref[...], dz_ref[...])
+        for j in range(SUP):
+            c = bid * SUP + j
+            iv = [tab_ref[r, c] for r in range(12)]
+            tf = [tab_ref[r + 12, c] for r in range(12)]
+            ok = tab_ref[24, c] > 0.0
+            oi = (iv[0] * o[0] + iv[1] * o[1] + iv[2] * o[2] + iv[3],
+                  iv[4] * o[0] + iv[5] * o[1] + iv[6] * o[2] + iv[7],
+                  iv[8] * o[0] + iv[9] * o[1] + iv[10] * o[2] + iv[11])
+            tdx = iv[0] * d[0] + iv[1] * d[1] + iv[2] * d[2]
+            tdy = iv[4] * d[0] + iv[5] * d[1] + iv[6] * d[2]
+            tdz = iv[8] * d[0] + iv[9] * d[1] + iv[10] * d[2]
+            nrm = jnp.maximum(
+                jnp.sqrt(tdx * tdx + tdy * tdy + tdz * tdz),
+                np.float32(1e-30))
+            di = (tdx / nrm, tdy / nrm, tdz / nrm)
+            a, valid, dircode = fn(oi[0], oi[1], oi[2],
+                                   di[0], di[1], di[2])
+            plx = oi[0] + a * di[0]
+            ply = oi[1] + a * di[1]
+            plz = oi[2] + a * di[2]
+            pgx = tf[0] * plx + tf[1] * ply + tf[2] * plz + tf[3]
+            pgy = tf[4] * plx + tf[5] * ply + tf[6] * plz + tf[7]
+            pgz = tf[8] * plx + tf[9] * ply + tf[10] * plz + tf[11]
+            ex, ey, ez = o[0] - pgx, o[1] - pgy, o[2] - pgz
+            dist = jnp.where(valid,
+                             jnp.sqrt(ex * ex + ey * ey + ez * ez),
+                             FLT_MAX)
+            # masked strictly-closer fold (ok folded into take — no
+            # predicated region per prim; NaNs from padding columns
+            # compare false and never land)
+            take = ok & (dist < dist_ref[...])
+            dist_ref[...] = jnp.where(take, dist, dist_ref[...])
+            row_ref[...] = jnp.where(take, c, row_ref[...])
+            a_ref[...] = jnp.where(take, a, a_ref[...])
+            dir_ref[...] = jnp.where(take, dircode, dir_ref[...])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape_code", "budget", "interpret"))
+def _an_sparse_call(o_rows, d_rows, shape_code, tab, sup_bb,
+                    budget=AN_BUDGET, interpret=False):
+    m = o_rows.shape[1]
+    nt = m // AN_TILE
+    bundles = tile_bundles(o_rows, d_rows, AN_TILE)
+    votes = bundle_box_votes(bundles, sup_bb)
+    tid, bid, n, overflow = build_worklist(votes, min(budget,
+                                                      votes.shape[1] + 1))
+    # dynamic grid: exactly the real worklist length — the static budget
+    # only sizes the SMEM id arrays (interpret mode needs a static grid)
+    grid_n = tid.shape[0] if interpret else n
+
+    o_blk = o_rows.reshape(3, m // 128, 128)
+    d_blk = d_rows.reshape(3, m // 128, 128)
+
+    ray_spec = pl.BlockSpec((AN_ROWS, 128),
+                            lambda w, t, b: (t[w], 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(tab.shape, lambda w, t, b: (0, 0),
+                            memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((AN_ROWS, 128), lambda w, t, b: (t[w], 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid_n,),
+        in_specs=[ray_spec] * 6 + [tab_spec],
+        out_specs=[out_spec] * 4,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((m // 128, 128), jnp.float32),
+        jax.ShapeDtypeStruct((m // 128, 128), jnp.int32),
+        jax.ShapeDtypeStruct((m // 128, 128), jnp.float32),
+        jax.ShapeDtypeStruct((m // 128, 128), jnp.int32),
+    ]
+    dist, row, a, dircode = pl.pallas_call(
+        functools.partial(_an_kernel, shape_code),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(tid, bid,
+      o_blk[0], o_blk[1], o_blk[2], d_blk[0], d_blk[1], d_blk[2], tab)
+    return (dist.reshape(m), row.reshape(m), a.reshape(m),
+            dircode.reshape(m), overflow)
+
+
+def group_best_rows_sparse(o, d, shape_code, inv_r, trf_r, pid, sup_bb,
+                           interpret=False):
+    """Worklist twin of pallas_trace.group_best_rows. o, d: [3, M] ray
+    rows (M a multiple of AN_TILE, UNIT directions), padded group tables
+    from _pad_group, sup_bb [6, ppad/SUP] world AABBs over SUP-prim
+    Morton windows. Falls back to the brute kernel on worklist
+    overflow. Returns (dist, group row, a, dircode), each [M]."""
+    from .pallas_trace import group_best_rows
+
+    tab = jnp.concatenate(
+        [inv_r, trf_r, (pid >= 0).astype(jnp.float32)], axis=0)
+    dist, row, a, dircode, overflow = _an_sparse_call(
+        o, d, shape_code, tab, sup_bb, interpret=interpret)
+
+    def brute(_):
+        return group_best_rows(o, d, shape_code, inv_r, trf_r, pid,
+                               cbb=None, interpret=interpret)
+
+    return jax.lax.cond(
+        overflow, brute, lambda _: (dist, row, a, dircode), 0)
+
+
+# ---------------------------------------------------------------------------
+# mesh triangles: [T, C] Moller-Trumbore over worklist chunks
+# ---------------------------------------------------------------------------
+
+def _mesh_kernel(tid_ref, bid_ref, o_ref, d_ref, tri_ref,
+                 a_ref, row_ref):
+    """One (256-ray tile, 128-triangle chunk) work item. Rays are
+    mesh-local with unit directions; fold on the local parameter `a`
+    (monotone in world distance within one instance — see
+    pallas_trace.mesh_best_rows)."""
+    w = pl.program_id(0)
+    tid = tid_ref[w]
+    bid = bid_ref[w]
+    first = jnp.logical_or(w == 0, tid_ref[jnp.maximum(w - 1, 0)] != tid)
+
+    @pl.when(first)
+    def _():
+        a_ref[0, :] = jnp.full_like(a_ref[0, :], FLT_MAX)
+        row_ref[0, :] = jnp.full_like(row_ref[0, :], -1)
+
+    @pl.when(bid >= 0)
+    def _():
+        ox, oy, oz = (o_ref[c, :][:, None] for c in range(3))
+        dx, dy, dz = (d_ref[c, :][:, None] for c in range(3))
+        v = [tri_ref[r, :][None, :] for r in range(9)]   # ax ay az bx..cz
+        e1x, e1y, e1z = v[3] - v[0], v[4] - v[1], v[5] - v[2]
+        e2x, e2y, e2z = v[6] - v[0], v[7] - v[1], v[8] - v[2]
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        det = e1x * hx + e1y * hy + e1z * hz
+        invd = 1.0 / det
+        sx, sy, sz = ox - v[0], oy - v[1], oz - v[2]
+        u = (sx * hx + sy * hy + sz * hz) * invd
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        vv = (dx * qx + dy * qy + dz * qz) * invd
+        a = (e2x * qx + e2y * qy + e2z * qz) * invd
+        valid = ((jnp.abs(det) >= EPSILON)
+                 & (u >= 0.0) & (u <= 1.0)
+                 & (vv >= 0.0) & (u + vv <= 1.0)
+                 & (a > EPSILON))
+        a = jnp.where(valid, a, FLT_MAX)
+
+        cmin = jnp.min(a, axis=1, keepdims=True)            # [T, 1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+        firsti = jnp.min(jnp.where(a == cmin, iota, PRIM_CHUNK), axis=1,
+                         keepdims=True)
+        w_row = firsti + bid * PRIM_CHUNK
+        best = a_ref[0, :][:, None]                         # [T, 1]
+        take = cmin < best
+        a_ref[0, :] = jnp.where(take, cmin, best)[:, 0]
+        row_ref[0, :] = jnp.where(take, w_row,
+                                  row_ref[0, :][:, None])[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("budget", "interpret"))
+def _mesh_sparse_call(o_rows, d_rows, tri, cbb, budget=MESH_BUDGET,
+                      interpret=False):
+    m = o_rows.shape[1]
+    nchunks = tri.shape[1] // PRIM_CHUNK
+    bundles = tile_bundles(o_rows, d_rows, MESH_TILE)
+    votes = bundle_box_votes(bundles, cbb[:, :nchunks])
+    tid, bid, n, overflow = build_worklist(votes, min(budget, nchunks + 1))
+    grid_n = tid.shape[0] if interpret else n
+
+    ray_spec = pl.BlockSpec((3, MESH_TILE), lambda w, t, b: (0, t[w]),
+                            memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((9, PRIM_CHUNK),
+                            lambda w, t, b: (0, jnp.maximum(b[w], 0)),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, MESH_TILE), lambda w, t, b: (0, t[w]),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid_n,),
+        in_specs=[ray_spec, ray_spec, tri_spec],
+        out_specs=[out_spec, out_spec],
+    )
+    out_shape = [jax.ShapeDtypeStruct((1, m), jnp.float32),
+                 jax.ShapeDtypeStruct((1, m), jnp.int32)]
+    a, row = pl.pallas_call(
+        _mesh_kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(tid, bid, o_rows, d_rows, tri)
+    return a[0], row[0], overflow
+
+
+def mesh_best_rows_sparse(o, d, tri, cbb, interpret=False):
+    """Worklist twin of pallas_trace.mesh_best_rows. o, d: [3, M]
+    MESH-LOCAL unit ray rows (M a multiple of MESH_TILE), tri [9, ppad]
+    corner rows, cbb [6, >=nchunks] mesh-local chunk AABBs. Returns
+    (a, row) each [M]; falls back to the brute kernel on overflow."""
+    from .pallas_trace import mesh_best_rows
+
+    a, row, overflow = _mesh_sparse_call(o, d, tri, cbb,
+                                         interpret=interpret)
+
+    def brute(_):
+        return mesh_best_rows(o, d, tri, interpret=interpret)
+
+    return jax.lax.cond(overflow, brute, lambda _: (a, row), 0)

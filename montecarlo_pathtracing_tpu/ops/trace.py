@@ -144,6 +144,8 @@ def trace_soa(scene, o, d, *, interpret: bool = False,
     brute fold (kept for equivalence tests)."""
     from .pallas_trace import (
         group_best_rows, mesh_best_rows, _pad_group, pad_tris, PRIM_CHUNK)
+    from .sparse_trace import (
+        group_best_rows_sparse, mesh_best_rows_sparse, AN_TILE, MESH_TILE)
 
     m = o[0].shape[0]
     o_rows = jnp.stack(o)
@@ -160,11 +162,20 @@ def trace_soa(scene, o, d, *, interpret: bool = False,
         inv_r, trf_r, pid = _pad_group(
             scene.group_transfo[gi], scene.group_inv[gi],
             scene.group_prim[gi])
-        multi = inv_r.shape[1] > PRIM_CHUNK
-        dist, row, a, dircode = group_best_rows(
-            o_rows, d_rows, code, inv_r, trf_r, pid,
-            cbb=scene.group_chunk_bb[gi] if (cull and multi) else None,
-            interpret=interpret)
+        # worklist route: fine-grained (8-prim) frustum culling, SMEM
+        # prim table; large groups above the SMEM cap keep the chunked
+        # kernel with its coarse in-kernel votes
+        sparse = (cull and m % AN_TILE == 0 and inv_r.shape[1] <= 2048)
+        if sparse:
+            dist, row, a, dircode = group_best_rows_sparse(
+                o_rows, d_rows, code, inv_r, trf_r, pid,
+                scene.group_super_bb[gi], interpret=interpret)
+        else:
+            multi = inv_r.shape[1] > PRIM_CHUNK
+            dist, row, a, dircode = group_best_rows(
+                o_rows, d_rows, code, inv_r, trf_r, pid,
+                cbb=scene.group_chunk_bb[gi] if (cull and multi) else None,
+                interpret=interpret)
         ok = row >= 0
         r = jnp.where(ok, row, 0)
         inv_g = jnp.take(inv_r, r, axis=1)     # [12, M]
@@ -202,11 +213,19 @@ def trace_soa(scene, o, d, *, interpret: bool = False,
                        scene.tri_vb[off:off + cnt],
                        scene.tri_vc[off:off + cnt])
         multi = tri.shape[1] > PRIM_CHUNK
-        a, row = mesh_best_rows(
-            jnp.stack(oi), jnp.stack(di), tri,
-            cbb=scene.mesh_chunk_bb[mi_] if (cull and multi) else None,
-            sbb=scene.mesh_super_bb[mi_] if (cull and multi) else None,
-            interpret=interpret)
+        if cull and multi and m % MESH_TILE == 0:
+            # worklist route: 256-ray tiles x 128-tri chunks decided by
+            # the XLA-side frustum test; includes instance-level pre-cull
+            # for free (tiles missing the whole mesh get zero chunks)
+            a, row = mesh_best_rows_sparse(
+                jnp.stack(oi), jnp.stack(di), tri,
+                scene.mesh_chunk_bb[mi_], interpret=interpret)
+        else:
+            a, row = mesh_best_rows(
+                jnp.stack(oi), jnp.stack(di), tri,
+                cbb=scene.mesh_chunk_bb[mi_] if (cull and multi) else None,
+                sbb=scene.mesh_super_bb[mi_] if (cull and multi) else None,
+                interpret=interpret)
         ok = row >= 0
         pl = vec.axpy(a, di, oi)
         pg = (mtrf[0, 0] * pl[0] + mtrf[0, 1] * pl[1] + mtrf[0, 2] * pl[2] + mtrf[0, 3],

@@ -43,6 +43,7 @@ ANALYTIC_CODES = (CODE_SPHERE, CODE_CUBE, CODE_CYLINDER, CODE_CONE,
                   CODE_ORIENTED_QUAD)
 
 TRI_SUPER = 16    # leaf chunks per super-chunk (16 x 128 = 2048 tris)
+GROUP_SUP = 8     # prims per analytic worklist block (sparse_trace.SUP)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -80,6 +81,10 @@ class DeviceScene:
     group_inv: Tuple[jnp.ndarray, ...]       # each [P,4,4]
     group_prim: Tuple[jnp.ndarray, ...]      # each [P] i32, -1 pad
     group_chunk_bb: Tuple[jnp.ndarray, ...]  # each [6, n_kernel_chunks]
+    # world AABBs over GROUP_SUP-prim Morton windows — the vote
+    # granularity of the block-sparse worklist kernels (ops/worklist.py,
+    # ops/sparse_trace.py); padding windows get empty boxes
+    group_super_bb: Tuple[jnp.ndarray, ...]  # each [6, P/GROUP_SUP]
     # --- mesh triangle pools (concatenated across instances) ---
     tri_va: jnp.ndarray         # [T,3] mesh-local corner A
     tri_vb: jnp.ndarray
@@ -147,6 +152,7 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
     # answer to BVH traversal: chunk-level frontier culling instead of a
     # divergent per-ray stack walk).
     group_codes, g_trf, g_inv, g_prim, g_chunk, g_cbb = [], [], [], [], [], []
+    g_sbb = []
     for code in ANALYTIC_CODES:
         idx = [i for i, p in enumerate(scene.prims) if p.type == code]
         if not idx:
@@ -177,12 +183,26 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
             else:   # padding-only chunk: empty box that nothing hits
                 cbb[0:3, c] = 1.0
                 cbb[3:6, c] = -1.0
+        # world AABBs over GROUP_SUP-prim Morton windows at the kernel
+        # padding (pad_group pads to PRIM_CHUNK=128, a GROUP_SUP multiple)
+        spad = _round_up(pad, 128)
+        nsb = spad // GROUP_SUP
+        sbbg = np.zeros((6, nsb), F32)
+        for sc in range(nsb):
+            ids = idx[sc * GROUP_SUP:(sc + 1) * GROUP_SUP]
+            if ids:
+                sbbg[0:3, sc] = bbmin[ids].min(axis=0)
+                sbbg[3:6, sc] = bbmax[ids].max(axis=0)
+            else:       # padding-only window: empty box
+                sbbg[0:3, sc] = 1.0
+                sbbg[3:6, sc] = -1.0
         group_codes.append(code)
         g_trf.append(jnp.asarray(trf))
         g_inv.append(jnp.asarray(inv))
         g_prim.append(jnp.asarray(pid))
         g_chunk.append(chunk)
         g_cbb.append(jnp.asarray(cbb))
+        g_sbb.append(jnp.asarray(sbbg))
 
     # mesh instances: pre-gather triangle corners/normals in mesh-local
     # space, MORTON-ORDERED by centroid so contiguous 128-triangle kernel
@@ -274,6 +294,7 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
         group_inv=tuple(g_inv),
         group_prim=tuple(g_prim),
         group_chunk_bb=tuple(g_cbb),
+        group_super_bb=tuple(g_sbb),
         tri_va=cat(va_l), tri_vb=cat(vb_l), tri_vc=cat(vc_l),
         tri_na=cat(na_l), tri_nb=cat(nb_l), tri_nc=cat(nc_l),
         mesh_chunk_bb=tuple(mesh_cbb),
