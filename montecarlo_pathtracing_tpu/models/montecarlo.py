@@ -202,8 +202,16 @@ def random_path_soa(scene, o, d, state, *, nb_bounces: int, refract_ind,
             d_inner = vec.where(cont & refr_case,
                                 vec.refract_glsl(d, N, refract_ind), d)
             d_inner = vec.where(refr_lane, d_inner, unit_z)
+            if sort_rays:
+                # park non-refracting lanes high above the scene so the
+                # inner re-trace only pays for lanes that actually
+                # refract (their results are discarded below anyway);
+                # keep x/y so mixed tiles' bundles stay laterally tight
+                park = (o[0], o[1], jnp.full((n,), PARK_Z))
+            else:
+                park = o
             o_inner = vec.where(refr_lane,
-                                vec.sub(P, vec.scale(N, BIAS)), o)
+                                vec.sub(P, vec.scale(N, BIAS)), park)
             hit2 = _trace_dispatch(scene, o_inner, d_inner, use_pallas,
                                    pallas_interpret, cull_chunks,
                                    nondiff_trace)
@@ -251,11 +259,15 @@ def random_path_soa(scene, o, d, state, *, nb_bounces: int, refract_ind,
     # bounce-cap exhaustion returns black (:178)
     rgb = vec.where(done, result, (z, z, z))
     if sort_rays:
-        # undo the accumulated bounce permutations: scatter by lane id
-        rgb = tuple(jnp.zeros((n,), jnp.float32).at[lane].set(c)
-                    for c in rgb)
-        state = tuple(jnp.zeros((n,), jnp.uint32).at[lane].set(s)
-                      for s in state)
+        # undo the accumulated bounce permutations: ONE row-form scatter
+        # per dtype (separate 1-D scatters pay a random access per
+        # element on TPU, like the gathers — see ops/sort_rays.py)
+        rgb_s = jnp.zeros((3, n), jnp.float32).at[:, lane].set(
+            jnp.stack(rgb))
+        rgb = (rgb_s[0], rgb_s[1], rgb_s[2])
+        st_s = jnp.zeros((3, n), jnp.uint32).at[:, lane].set(
+            jnp.stack(state))
+        state = (st_s[0], st_s[1], st_s[2])
     return rgb, state
 
 

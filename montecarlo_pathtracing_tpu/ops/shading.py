@@ -174,9 +174,12 @@ def intersection_info_soa(scene, hit, prev=None):
 
     if scene.tri_va.shape[0] > 0:
         tri = jnp.clip(hit.tri, 0, scene.tri_va.shape[0] - 1)
-        A = tuple(jnp.take(scene.tri_va[:, c], tri) for c in range(3))
-        B = tuple(jnp.take(scene.tri_vb[:, c], tri) for c in range(3))
-        C = tuple(jnp.take(scene.tri_vc[:, c], tri) for c in range(3))
+        # ONE row-form gather per table ([9, T] take along axis 1) — 18
+        # separate 1-D takes cost ~milliseconds EACH on TPU (random
+        # 4-byte accesses), the row form ~0.03 ms (see device.py)
+        pr = jnp.take(scene.tri_pos_rows, tri, axis=1)   # [9, M]
+        A, B, C = (pr[0], pr[1], pr[2]), (pr[3], pr[4], pr[5]), \
+                  (pr[6], pr[7], pr[8])
         mrows = jnp.take(vec.affine_rows(scene.mesh_transfo), prim, axis=1)
         if scene.flat_face:
             no_mesh = vec.cross(vec.sub(B, A), vec.sub(C, A))
@@ -185,9 +188,9 @@ def intersection_info_soa(scene, hit, prev=None):
             tA = vec.length(vec.cross(PB, PC))
             tB = vec.length(vec.cross(PA, PC))
             tC = vec.length(vec.cross(PA, PB))
-            nA = tuple(jnp.take(scene.tri_na[:, c], tri) for c in range(3))
-            nB = tuple(jnp.take(scene.tri_nb[:, c], tri) for c in range(3))
-            nC = tuple(jnp.take(scene.tri_nc[:, c], tri) for c in range(3))
+            nr = jnp.take(scene.tri_norm_rows, tri, axis=1)
+            nA, nB, nC = (nr[0], nr[1], nr[2]), (nr[3], nr[4], nr[5]), \
+                         (nr[6], nr[7], nr[8])
             no_mesh = vec.add(vec.add(vec.scale(nA, tA), vec.scale(nB, tB)),
                               vec.scale(nC, tC))
         n_mesh = vec.normalize(

@@ -71,6 +71,26 @@ def ray_sort_key(o, d, done, lo, hi):
 
 def sort_wavefront(key, arrays):
     """argsort by key and gather every array in `arrays` (a flat list of
-    [N] arrays) by the permutation. Returns (perm, gathered list)."""
+    [N] arrays) by the permutation. Returns (perm, gathered list).
+
+    TPU detail: K separate 1-D gathers cost ~milliseconds each (one
+    4-byte random access per index); ONE row-form gather of a stacked
+    [K, N] array along axis 1 moves K*4 contiguous bytes per index and
+    costs ~0.03 ms at 64K. Arrays are stacked by dtype (f32 as-is,
+    everything else bitcast/widened to uint32), gathered in two takes,
+    and unstacked — order preserved."""
     perm = jnp.argsort(key)
-    return perm, [jnp.take(a, perm, axis=0) for a in arrays]
+    f32_idx = [i for i, a in enumerate(arrays) if a.dtype == jnp.float32]
+    other_idx = [i for i in range(len(arrays)) if i not in f32_idx]
+    out = [None] * len(arrays)
+    if f32_idx:
+        g = jnp.take(jnp.stack([arrays[i] for i in f32_idx]), perm, axis=1)
+        for k, i in enumerate(f32_idx):
+            out[i] = g[k]
+    if other_idx:
+        cast = [arrays[i].astype(jnp.uint32) if arrays[i].dtype != jnp.uint32
+                else arrays[i] for i in other_idx]
+        g = jnp.take(jnp.stack(cast), perm, axis=1)
+        for k, i in enumerate(other_idx):
+            out[i] = g[k].astype(arrays[i].dtype)
+    return perm, out

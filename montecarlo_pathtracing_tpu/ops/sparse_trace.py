@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import EPSILON, FLT_MAX
 from .pallas_trace import _SOA_FNS, PRIM_CHUNK, _round_up
-from .worklist import tile_bundles, bundle_box_votes, build_worklist
+from .worklist import (tile_bundles, bundle_box_votes, bundle_box_entry,
+                       build_worklist)
 
 SUP = 8             # prims per analytic work block
 AN_TILE = 1024      # rays per analytic tile (8 sublanes x 128 lanes)
@@ -191,26 +192,53 @@ def group_best_rows_sparse(o, d, shape_code, inv_r, trf_r, pid, sup_bb,
 
 
 # ---------------------------------------------------------------------------
-# mesh triangles: [T, C] Moller-Trumbore over worklist chunks
+# mesh triangles: [T, C] Moller-Trumbore, occlusion-refined worklist.
+#
+# Big meshes defeat pure frustum culling: a diffuse bounce bundle's cone
+# reaches ~25% of a 100K-triangle mesh's chunk boxes (measured on
+# mesh_hires), but each ray HITS one of the nearest one or two — the
+# reference gets this from front-to-back BVH traversal with the
+# current-closest prune (intersect_bv, raytracer_func.frag:344-350).
+# The TPU equivalent here: per tile, process the K nearest reachable
+# chunks by bundle ENTRY distance (worklist.bundle_box_entry), carry the
+# per-ray best into the kernel, skip a chunk once every ray's best beats
+# its entry bound, and iterate (lax.while_loop) until no unprocessed
+# chunk could improve any ray. Typically 1-2 iterations; a tile whose
+# rays all miss processes exactly its reachable chunks and no more.
 # ---------------------------------------------------------------------------
 
-def _mesh_kernel(tid_ref, bid_ref, o_ref, d_ref, tri_ref,
+K_OCCL = 64         # chunks per tile per iteration (top-k nearest); the
+                    # in-kernel entry-bound skip makes oversize K cheap,
+                    # while small K multiplies while_loop iterations
+
+
+def _mesh_kernel(k_per_tile, tid_ref, bid_ref, tlo_ref,
+                 o_ref, d_ref, tri_ref, ain_ref, rin_ref, bnd_ref,
                  a_ref, row_ref):
-    """One (256-ray tile, 128-triangle chunk) work item. Rays are
+    """One (MESH_TILE-ray tile, 128-triangle chunk) work item. Rays are
     mesh-local with unit directions; fold on the local parameter `a`
     (monotone in world distance within one instance — see
-    pallas_trace.mesh_best_rows)."""
+    pallas_trace.mesh_best_rows). The worklist is exactly [ntiles,
+    k_per_tile] flattened, so a tile's first step is w % k == 0; it
+    seeds the fold from the carried-in best (ain/rin). A chunk body is
+    skipped when its entry bound can no longer beat any ray's best —
+    front-to-back occlusion termination (chunks arrive nearest-first)."""
     w = pl.program_id(0)
-    tid = tid_ref[w]
     bid = bid_ref[w]
-    first = jnp.logical_or(w == 0, tid_ref[jnp.maximum(w - 1, 0)] != tid)
+    first = w % k_per_tile == 0
 
     @pl.when(first)
     def _():
-        a_ref[0, :] = jnp.full_like(a_ref[0, :], FLT_MAX)
-        row_ref[0, :] = jnp.full_like(row_ref[0, :], -1)
+        a_ref[0, :] = ain_ref[0, :]
+        row_ref[0, :] = rin_ref[0, :]
 
-    @pl.when(bid >= 0)
+    # a chunk can matter only if its entry bound beats some ray's
+    # min(current best, root-box exit) — bnd_ref caps rays that MISS the
+    # whole mesh (their best stays FLT_MAX, but nothing can hit beyond
+    # their exit from the root box)
+    prune = jnp.max(jnp.minimum(a_ref[0, :], bnd_ref[0, :]))
+
+    @pl.when((bid >= 0) & (tlo_ref[w] < prune))
     def _():
         ox, oy, oz = (o_ref[c, :][:, None] for c in range(3))
         dx, dy, dz = (d_ref[c, :][:, None] for c in range(3))
@@ -247,53 +275,102 @@ def _mesh_kernel(tid_ref, bid_ref, o_ref, d_ref, tri_ref,
                                   row_ref[0, :][:, None])[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("budget", "interpret"))
-def _mesh_sparse_call(o_rows, d_rows, tri, cbb, budget=MESH_BUDGET,
-                      interpret=False):
+def _mesh_fold_call(o_rows, d_rows, tri, tid, bid, tlo, a, row, bound,
+                    k_per_tile, interpret):
+    """One Pallas fold over a [ntiles, k_per_tile] worklist, carrying the
+    prior per-ray best in/out. bound: [M] per-ray root-box exit cap."""
     m = o_rows.shape[1]
-    nchunks = tri.shape[1] // PRIM_CHUNK
-    bundles = tile_bundles(o_rows, d_rows, MESH_TILE)
-    votes = bundle_box_votes(bundles, cbb[:, :nchunks])
-    tid, bid, n, overflow = build_worklist(votes, min(budget, nchunks + 1))
-    grid_n = tid.shape[0] if interpret else n
-
-    ray_spec = pl.BlockSpec((3, MESH_TILE), lambda w, t, b: (0, t[w]),
+    ray_spec = pl.BlockSpec((3, MESH_TILE), lambda w, t, b, q: (0, t[w]),
                             memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec((9, PRIM_CHUNK),
-                            lambda w, t, b: (0, jnp.maximum(b[w], 0)),
+                            lambda w, t, b, q: (0, jnp.maximum(b[w], 0)),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, MESH_TILE), lambda w, t, b: (0, t[w]),
-                            memory_space=pltpu.VMEM)
+    io_spec = pl.BlockSpec((1, MESH_TILE), lambda w, t, b, q: (0, t[w]),
+                           memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(grid_n,),
-        in_specs=[ray_spec, ray_spec, tri_spec],
-        out_specs=[out_spec, out_spec],
+        num_scalar_prefetch=3,
+        grid=(tid.shape[0],),
+        in_specs=[ray_spec, ray_spec, tri_spec, io_spec, io_spec, io_spec],
+        out_specs=[io_spec, io_spec],
     )
     out_shape = [jax.ShapeDtypeStruct((1, m), jnp.float32),
                  jax.ShapeDtypeStruct((1, m), jnp.int32)]
-    a, row = pl.pallas_call(
-        _mesh_kernel,
+    a2, row2 = pl.pallas_call(
+        functools.partial(_mesh_kernel, k_per_tile),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(tid, bid, o_rows, d_rows, tri)
-    return a[0], row[0], overflow
+    )(tid, bid, tlo, o_rows, d_rows, tri,
+      a.reshape(1, m), row.reshape(1, m), bound.reshape(1, m))
+    return a2[0], row2[0]
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def mesh_best_rows_sparse(o, d, tri, cbb, interpret=False):
-    """Worklist twin of pallas_trace.mesh_best_rows. o, d: [3, M]
-    MESH-LOCAL unit ray rows (M a multiple of MESH_TILE), tri [9, ppad]
-    corner rows, cbb [6, >=nchunks] mesh-local chunk AABBs. Returns
-    (a, row) each [M]; falls back to the brute kernel on overflow."""
-    from .pallas_trace import mesh_best_rows
+    """Occlusion-refined worklist twin of pallas_trace.mesh_best_rows.
 
-    a, row, overflow = _mesh_sparse_call(o, d, tri, cbb,
-                                         interpret=interpret)
+    o, d: [3, M] MESH-LOCAL unit ray rows (M a multiple of MESH_TILE),
+    tri [9, ppad] corner rows, cbb [6, >=nchunks] mesh-local chunk
+    AABBs. Returns (a, row) each [M]. Winners match the brute fold:
+    a chunk is only ever skipped when its conservative entry distance
+    cannot beat any ray's current best (strictly-closer fold semantics),
+    and the while_loop runs until no skipped chunk could."""
+    m = o.shape[1]
+    nt = m // MESH_TILE
+    nchunks = tri.shape[1] // PRIM_CHUNK
+    bundles = tile_bundles(o, d, MESH_TILE)
+    tlo = bundle_box_entry(bundles, cbb[:, :nchunks])   # [nt, S]; INF=miss
+    from .worklist import INF
+    from .pallas_trace import _safe_rcp
 
-    def brute(_):
-        return mesh_best_rows(o, d, tri, interpret=interpret)
+    # per-ray root-box exit cap: any hit's local parameter lies inside
+    # the ray's slab interval against the UNION of real chunk boxes, so
+    # min(best, exit) bounds what a chunk must beat — rays that miss the
+    # whole mesh (best stays FLT_MAX) then stop blocking the prune
+    real = cbb[0, :nchunks] <= cbb[3, :nchunks]
+    root_lo = jnp.min(jnp.where(real[None, :], cbb[0:3, :nchunks], INF),
+                      axis=1)
+    root_hi = jnp.max(jnp.where(real[None, :], cbb[3:6, :nchunks], -INF),
+                      axis=1)
+    rd = _safe_rcp(d)
+    t0b = (root_lo[:, None] - o) * rd
+    t1b = (root_hi[:, None] - o) * rd
+    tent = jnp.maximum(jnp.max(jnp.minimum(t0b, t1b), axis=0), 0.0)
+    texi = jnp.min(jnp.maximum(t0b, t1b), axis=0)
+    bound = jnp.where(texi >= tent,
+                      texi * np.float32(1.0001) + np.float32(1e-4),
+                      np.float32(0.0))                  # [M]
 
-    return jax.lax.cond(overflow, brute, lambda _: (a, row), 0)
+    k = min(K_OCCL, nchunks)
+    rows_i = jnp.arange(nt, dtype=jnp.int32)[:, None]
+    tid_w = jnp.broadcast_to(rows_i, (nt, k)).reshape(-1)
+
+    def amax_tiles(a):
+        return jnp.minimum(a, bound).reshape(nt, MESH_TILE).max(axis=1)
+
+    def candidates(a, processed):
+        return (~processed) & (tlo < amax_tiles(a)[:, None])
+
+    def cond(carry):
+        a, row, processed = carry
+        return jnp.any(candidates(a, processed))
+
+    def body(carry):
+        a, row, processed = carry
+        key = jnp.where(candidates(a, processed), tlo, INF)
+        negv, idx = jax.lax.top_k(-key, k)              # nearest-first
+        valid = negv > -INF
+        bid_w = jnp.where(valid, idx, -1).astype(jnp.int32).reshape(-1)
+        tlo_w = jnp.where(valid, -negv, INF).reshape(-1)
+        a, row = _mesh_fold_call(o, d, tri, tid_w, bid_w, tlo_w,
+                                 a, row, bound, k, interpret)
+        processed = processed.at[rows_i, idx].max(valid)
+        return a, row, processed
+
+    init = (jnp.full((m,), FLT_MAX, jnp.float32),
+            jnp.full((m,), -1, jnp.int32),
+            tlo >= INF)
+    a, row, _ = jax.lax.while_loop(cond, body, init)
+    return a, row

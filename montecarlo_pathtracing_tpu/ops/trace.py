@@ -178,9 +178,14 @@ def trace_soa(scene, o, d, *, interpret: bool = False,
                 interpret=interpret)
         ok = row >= 0
         r = jnp.where(ok, row, 0)
-        inv_g = jnp.take(inv_r, r, axis=1)     # [12, M]
-        trf_g = jnp.take(trf_r, r, axis=1)
-        pid_g = jnp.where(ok, jnp.take(pid[0], r), -1)
+        # one stacked row gather (TPU: row-form takes are ~400x cheaper
+        # than per-row 1-D takes — see ops/sort_rays.sort_wavefront)
+        tabg = jnp.take(
+            jnp.concatenate([inv_r, trf_r, pid.astype(jnp.float32)], 0),
+            r, axis=1)                          # [25, M]
+        inv_g = tabg[0:12]
+        trf_g = tabg[12:24]
+        pid_g = jnp.where(ok, tabg[24].astype(jnp.int32), -1)
         oi = vec.apply_affine(inv_g, o)
         di = vec.normalize(vec.apply_linear(inv_g, d), eps=1e-30)
         pl = vec.axpy(a, di, oi)

@@ -67,6 +67,26 @@ def _cond_interval(a, b):
     return lo, hi
 
 
+def bundle_box_entry(bundles, boxes):
+    """Like bundle_box_votes, but returns the conservative ENTRY distance
+    t_lo [ntiles, S] of each bundle into each box — INF where the bundle
+    cannot reach the box. t_lo lower-bounds every contained ray's slab
+    entry, so `t_lo >= max(best)` proves a box cannot improve any ray's
+    strictly-closer winner (the occlusion prune of the iterative mesh
+    trace, sparse_trace.mesh_best_rows_occl)."""
+    olo, ohi, dlo, dhi = bundles
+    t_lo = jnp.zeros((olo.shape[1], boxes.shape[1]), jnp.float32)
+    t_hi = jnp.full_like(t_lo, INF)
+    for c in range(3):
+        blo = boxes[c][None, :]
+        bhi = boxes[3 + c][None, :]
+        lo1, hi1 = _cond_interval(dlo[c][:, None], bhi - olo[c][:, None])
+        lo2, hi2 = _cond_interval(-dhi[c][:, None], ohi[c][:, None] - blo)
+        t_lo = jnp.maximum(t_lo, jnp.maximum(lo1, lo2))
+        t_hi = jnp.minimum(t_hi, jnp.minimum(hi1, hi2))
+    return jnp.where(t_hi >= t_lo, t_lo, INF)
+
+
 def bundle_box_votes(bundles, boxes):
     """Conservative bundle-vs-AABB test.
 

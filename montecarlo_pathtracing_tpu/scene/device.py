@@ -92,6 +92,12 @@ class DeviceScene:
     tri_na: jnp.ndarray         # [T,3] vertex normals
     tri_nb: jnp.ndarray
     tri_nc: jnp.ndarray
+    # row-major twins of the corner/normal pools: [9, T] (ax ay az bx ..
+    # cz). TPU gathers are ~400x faster in row form — take([K,M], idx,
+    # axis=1) moves K*4 contiguous bytes per index, while K separate 1-D
+    # takes pay a random 4-byte access each (ops/shading.py mesh branch)
+    tri_pos_rows: jnp.ndarray   # [9, T]
+    tri_norm_rows: jnp.ndarray  # [9, T]
     # per-mesh-instance chunk AABBs (mesh-LOCAL space, one [6, n_chunks]
     # per instance at the kernel's 128-triangle granularity, padded to a
     # TRI_SUPER multiple with empty boxes) — the leaf level of the
@@ -282,6 +288,15 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
             return jnp.zeros((0, 3), jnp.float32)
         return jnp.asarray(np.concatenate(parts, axis=0))
 
+    def rows9(a_parts, b_parts, c_parts):
+        """[T,3] pools -> [9, T] rows (ax ay az bx .. cz)."""
+        if not a_parts:
+            return jnp.zeros((9, 0), jnp.float32)
+        a = np.concatenate(a_parts, axis=0)
+        b = np.concatenate(b_parts, axis=0)
+        c = np.concatenate(c_parts, axis=0)
+        return jnp.asarray(np.concatenate([a.T, b.T, c.T], axis=0))
+
     has_transparent = bool(np.any(color[:, 3] < 1.0))
 
     return DeviceScene(
@@ -297,6 +312,8 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
         group_super_bb=tuple(g_sbb),
         tri_va=cat(va_l), tri_vb=cat(vb_l), tri_vc=cat(vc_l),
         tri_na=cat(na_l), tri_nb=cat(nb_l), tri_nc=cat(nc_l),
+        tri_pos_rows=rows9(va_l, vb_l, vc_l),
+        tri_norm_rows=rows9(na_l, nb_l, nc_l),
         mesh_chunk_bb=tuple(mesh_cbb),
         mesh_super_bb=tuple(mesh_sbb),
         bvh_bb_min=jnp.asarray(bvh.bb_min),
