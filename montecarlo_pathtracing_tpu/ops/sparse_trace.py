@@ -85,9 +85,13 @@ def _an_kernel(shape_code, tid_ref, bid_ref,
         d = (dx_ref[...], dy_ref[...], dz_ref[...])
         for j in range(SUP):
             c = bid * SUP + j
-            iv = [tab_ref[r, c] for r in range(12)]
-            tf = [tab_ref[r + 12, c] for r in range(12)]
-            ok = tab_ref[24, c] > 0.0
+            # tab_ref is a (1, 25, SUP) SMEM block DMA'd per work item,
+            # so every scalar load uses a STATIC in-block index (a full-
+            # table SMEM ref with dynamic column arithmetic multiplied
+            # Mosaic compile time ~30x)
+            iv = [tab_ref[0, r, j] for r in range(12)]
+            tf = [tab_ref[0, r + 12, j] for r in range(12)]
+            ok = tab_ref[0, 24, j] > 0.0
             oi = (iv[0] * o[0] + iv[1] * o[1] + iv[2] * o[2] + iv[3],
                   iv[4] * o[0] + iv[5] * o[1] + iv[6] * o[2] + iv[7],
                   iv[8] * o[0] + iv[9] * o[1] + iv[10] * o[2] + iv[11])
@@ -136,11 +140,15 @@ def _an_sparse_call(o_rows, d_rows, shape_code, tab, sup_bb,
 
     o_blk = o_rows.reshape(3, m // 128, 128)
     d_blk = d_rows.reshape(3, m // 128, 128)
+    # [25, ppad] -> [nblocks, 25, SUP] so each work item DMAs one block
+    tab = jnp.transpose(
+        tab.reshape(25, tab.shape[1] // SUP, SUP), (1, 0, 2))
 
     ray_spec = pl.BlockSpec((AN_ROWS, 128),
                             lambda w, t, b: (t[w], 0),
                             memory_space=pltpu.VMEM)
-    tab_spec = pl.BlockSpec(tab.shape, lambda w, t, b: (0, 0),
+    tab_spec = pl.BlockSpec((1, 25, SUP),
+                            lambda w, t, b: (jnp.maximum(b[w], 0), 0, 0),
                             memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((AN_ROWS, 128), lambda w, t, b: (t[w], 0),
                             memory_space=pltpu.VMEM)

@@ -67,30 +67,37 @@ def _smoke_mesh():
     jax.block_until_ready(a)
 
 
-def _smoke_mesh_culled():
-    """Compile the two-level culled triangle kernel AND assert winner
-    equality against the plain fold through the REAL pipeline, with a
-    fixture whose leaf-chunk table has super-alignment PAD chunks.
-    Interpret mode skips pad-chunk bodies by predicate; Mosaic has been
-    seen to execute them (round 2), which only this real-compile check
-    catches."""
+def _mesh_fixture():
     import numpy as np
     from ..scene import scenes
     from ..scene.device import compile_scene
-    from ..ops.pallas_trace import mesh_best_rows, pad_tris, RAY_TILE
+    from ..ops.pallas_trace import pad_tris, RAY_TILE
 
     dev = compile_scene(scenes.build("mesh_demo"))
     off, cnt = dev.mesh_tri_offset[0], dev.mesh_tri_padded[0]
     tri = pad_tris(dev.tri_va[off:off + cnt], dev.tri_vb[off:off + cnt],
                    dev.tri_vc[off:off + cnt])
-    assert dev.mesh_chunk_bb[0].shape[1] > tri.shape[1] // 128, \
-        "fixture must have pad chunks"
     rs = np.random.RandomState(7)
     O = rs.uniform(-3, 3, (RAY_TILE, 3)).astype(np.float32)
     D = rs.normal(size=(RAY_TILE, 3)).astype(np.float32)
     D /= np.linalg.norm(D, axis=-1, keepdims=True)
-    o = jnp.asarray(O.T)
-    d = jnp.asarray(D.T)
+    return dev, tri, jnp.asarray(O.T), jnp.asarray(D.T)
+
+
+def _smoke_mesh_culled():
+    """Compile the round-2 two-level culled triangle kernel (still the
+    fallback for rays counts that don't tile MESH_TILE) AND assert
+    winner equality against the plain fold through the REAL pipeline,
+    with a fixture whose leaf-chunk table has super-alignment PAD
+    chunks. Interpret mode skips pad-chunk bodies by predicate; Mosaic
+    has been seen to execute them (round 2), which only this
+    real-compile check catches."""
+    import numpy as np
+    from ..ops.pallas_trace import mesh_best_rows, RAY_TILE
+
+    dev, tri, o, d = _mesh_fixture()
+    assert dev.mesh_chunk_bb[0].shape[1] > tri.shape[1] // 128, \
+        "fixture must have pad chunks"
     ap, rp = mesh_best_rows(o, d, tri, cbb=None)
     ac, rc = mesh_best_rows(o, d, tri, cbb=dev.mesh_chunk_bb[0],
                             sbb=dev.mesh_super_bb[0])
@@ -100,6 +107,57 @@ def _smoke_mesh_culled():
         raise AssertionError(
             f"culled mesh kernel winners diverge from plain on real "
             f"compile ({nbad}/{RAY_TILE} rays)")
+
+
+def _smoke_mesh_sparse():
+    """Compile the occlusion-refined worklist mesh kernel (the
+    production mesh route, ops/sparse_trace.py) through the REAL
+    pipeline — dynamic grids, scalar prefetch, while_loop — and assert
+    winner equality against the plain fold."""
+    import numpy as np
+    from ..ops.pallas_trace import mesh_best_rows
+    from ..ops.sparse_trace import mesh_best_rows_sparse
+
+    dev, tri, o, d = _mesh_fixture()
+    ap, rp = mesh_best_rows(o, d, tri, cbb=None)
+    ac, rc = mesh_best_rows_sparse(o, d, tri, dev.mesh_chunk_bb[0])
+    if not (np.array_equal(np.asarray(rp), np.asarray(rc))
+            and np.array_equal(np.asarray(ap), np.asarray(ac))):
+        nbad = int((np.asarray(rp) != np.asarray(rc)).sum())
+        raise AssertionError(
+            f"sparse mesh kernel winners diverge from plain on real "
+            f"compile ({nbad} rays)")
+
+
+def _smoke_group_sparse():
+    """Compile the worklist analytic-group kernel (the production route
+    for >96-prim groups) and assert winner equality vs the plain fold."""
+    import numpy as np
+    from ..scene import scenes
+    from ..scene.device import compile_scene
+    from ..ops.pallas_trace import group_best_rows, _pad_group, RAY_TILE
+    from ..ops.sparse_trace import group_best_rows_sparse
+
+    dev = compile_scene(scenes.build("colonnes"))
+    gi = max(range(len(dev.group_codes)),
+             key=lambda i: dev.group_prim[i].shape[0])
+    inv_r, trf_r, pid = _pad_group(
+        dev.group_transfo[gi], dev.group_inv[gi], dev.group_prim[gi])
+    rs = np.random.RandomState(11)
+    O = rs.uniform(-40, 40, (RAY_TILE, 3)).astype(np.float32)
+    D = rs.normal(size=(RAY_TILE, 3)).astype(np.float32)
+    D /= np.linalg.norm(D, axis=-1, keepdims=True)
+    o, d = jnp.asarray(O.T), jnp.asarray(D.T)
+    code = dev.group_codes[gi]
+    dp, rp, apn, _ = group_best_rows(o, d, code, inv_r, trf_r, pid)
+    ds, rso, as_, _ = group_best_rows_sparse(
+        o, d, code, inv_r, trf_r, pid, dev.group_super_bb[gi])
+    if not (np.array_equal(np.asarray(rp), np.asarray(rso))
+            and np.array_equal(np.asarray(dp), np.asarray(ds))):
+        nbad = int((np.asarray(rp) != np.asarray(rso)).sum())
+        raise AssertionError(
+            f"sparse group kernel winners diverge from plain on real "
+            f"compile ({nbad} rays)")
 
 
 def _smoke_megakernel():
@@ -165,8 +223,10 @@ def _smoke_megakernel_culled():
 SMOKES = (
     ("group_best_rows", _smoke_group_plain),
     ("group_best_rows[culled]", _smoke_group_culled),
+    ("group_best_rows[sparse]", _smoke_group_sparse),
     ("mesh_best_rows", _smoke_mesh),
     ("mesh_best_rows[culled]", _smoke_mesh_culled),
+    ("mesh_best_rows[sparse]", _smoke_mesh_sparse),
     ("megakernel", _smoke_megakernel),
     ("megakernel[transparent]", _smoke_megakernel_transparent),
     ("megakernel[culled]", _smoke_megakernel_culled),
