@@ -41,10 +41,28 @@ def main():
     else:
         w, h, passes, bounces = 800, 600, 16, 3
 
+    # per-scene CPU denominators (round-2 verdict: a single-scene
+    # denominator flattered the mesh scenes)
+    base_path = os.path.join(os.path.dirname(__file__),
+                             "baseline_per_scene.json")
+    per_scene_base = {}
+    base_note = "missing benchmarks/baseline_per_scene.json"
+    try:
+        with open(base_path) as f:
+            bl = json.load(f)
+        per_scene_base = {k: v.get("rays_per_s")
+                          for k, v in bl["scenes"].items()}
+        base_note = ("vs_baseline = rays_per_s / (10 * per-scene dense-XLA "
+                     f"CPU rays/s on a {bl['host']['cpus']}-vCPU host); "
+                     ">= 1.0 meets BASELINE.md's >=10x target")
+    except (OSError, KeyError, ValueError):
+        pass
+
     report = {
         "platform": jax.devices()[0].platform,
         "config": {"width": w, "height": h, "passes": passes,
                    "bounces": bounces, "use_pallas": on_tpu},
+        "baseline_note": base_note,
         "scenes": {},
     }
     for name in scenes.SCENES:
@@ -63,13 +81,19 @@ def main():
             float(jnp.sum(r._acc))
             dt = time.perf_counter() - t0
             img = r.image()
-            report["scenes"][name] = {
+            rps = w * h * passes * bounces / dt
+            entry = {
                 "prims": dev.nb_prims,
                 "compile_s": round(compile_s, 2),
-                "rays_per_s": round(w * h * passes * bounces / dt, 1),
+                "rays_per_s": round(rps, 1),
                 "spp_per_s": round(passes / dt, 2),
                 "img_mean": round(float(img.mean()), 5),
             }
+            cpu_rps = per_scene_base.get(name)
+            if cpu_rps:
+                entry["cpu_rays_per_s"] = cpu_rps
+                entry["vs_baseline"] = round(rps / (10.0 * cpu_rps), 3)
+            report["scenes"][name] = entry
             print(name, report["scenes"][name], flush=True)
         except Exception as e:                      # keep sweeping
             report["scenes"][name] = {"error": str(e)[:200]}

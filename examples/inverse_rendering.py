@@ -94,11 +94,14 @@ def main():
     write_png(f"{args.outdir}/inv_initial.png",
               np.asarray(init_img).reshape(h, w, 3))
 
+    # use_pallas=None: the auto-route picks the DENSE path because
+    # fit_ior is set (the fast route's refract_ind gradient is ~0 —
+    # see render/diff.inverse_render_fit)
     p_fit, losses = inverse_render_fit(
         dev, target, origin, dirs, tc, prim_ids=[target_prim],
         steps=steps, lr=3e-2, n_passes=4, nb_bounces=6,
         fit_albedo=True, fit_mat_cols=(1,), fit_ior=True,
-        seed_params=p0, verbose=True, use_pallas=fast)
+        seed_params=p0, verbose=True, use_pallas=None)
 
     final = render_mean(dev, p_fit, origin, dirs, tc, 4, 6,
                         "montecarlo", fast)

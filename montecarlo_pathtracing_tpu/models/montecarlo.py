@@ -49,10 +49,17 @@ def _trace_dispatch(scene, o, d, use_pallas, interpret, cull_chunks=None,
     nondiff=True detaches the trace from the AD graph (stop_gradient on
     the rays in and every Hit field out) so reverse-mode never needs a
     VJP for the Pallas kernels. This is exact for the differentiable
-    leaves (color/mat/light: hit geometry does not depend on them) and
-    drops only the geometric half of the IOR gradient (the refraction
-    inner re-trace moving the exit point) — the Schlick/attenuation IOR
-    term still flows. The dense route keeps the full IOR gradient."""
+    leaves (color/mat/light: hit geometry does not depend on them) but
+    drops the GEOMETRIC IOR gradient (refraction directions feed the
+    next, detached trace). The retained Schlick/attenuation IOR term
+    still flows in principle — but the reference's rSchlick quirk
+    (x = 1 - dot(N, D) with D pointing INTO the surface, clamped to
+    [0,1]; tp/montecarlo.frag:91-98) saturates rs to exactly 1 for
+    front-facing hits, so its derivative is zero almost everywhere: in
+    practice the fast route has NO usable refract_ind gradient (guarded
+    by tests/test_grad.py::test_fast_path_ior_grad_documented_gap).
+    Anything needing dL/d(ior) must use the dense route, which keeps the
+    full geometric term (render/diff.inverse_render_fit auto-routes)."""
     if nondiff:
         o = tuple(jax.lax.stop_gradient(c) for c in o)
         d = tuple(jax.lax.stop_gradient(c) for c in d)

@@ -125,9 +125,18 @@ def inverse_render_fit(scene, target, origin, dirs, tc, *, prim_ids,
     drift shininess or alpha across a case boundary makes the loss
     landscape discontinuous. Opt in via fit_alpha / fit_mat_cols (columns
     of (shininess, roughness, emissivity, area)) / fit_ior / fit_light
-    when the target genuinely differs in those. Returns (params, losses)."""
+    when the target genuinely differs in those. Returns (params, losses).
+
+    Routing: use_pallas None (auto) picks the fast kernels on TPU —
+    EXCEPT when fit_ior is set, which forces the dense route: the fast
+    route's detached trace drops the geometric IOR term, and the
+    reference's clamped-Schlick quirk zeroes the retained term, so the
+    fast refract_ind gradient is ~0 and the fit would never move
+    (models/montecarlo._trace_dispatch)."""
     import optax
 
+    if use_pallas is None:
+        use_pallas = _auto_fast() and not fit_ior
     p0 = seed_params if seed_params is not None else params_of(scene)
     row_mask = np.zeros((scene.color.shape[0], 1), np.float32)
     for i in prim_ids:
@@ -141,9 +150,6 @@ def inverse_render_fit(scene, target, origin, dirs, tc, *, prim_ids,
         mat_ch[0, c] = 1.0
     color_mask = row_mask * jnp.asarray(color_ch)
     mat_mask = row_mask * jnp.asarray(mat_ch)
-
-    if use_pallas is None:
-        use_pallas = _auto_fast()
 
     def loss_fn(p):
         img = render_mean(scene, p, origin, dirs, tc, n_passes, nb_bounces,
