@@ -74,14 +74,20 @@ def main():
     report["configs"]["1_diffuse_256"] = c1
     print("config 1:", c1, flush=True)
 
-    # --- config 2: materials sweep, 800x600 @ 64 spp ---------------------
-    sweep = []
-    for ior in (1.0, 1.5, 2.5):
-        for light in (0.4, 1.2):
-            c2, _ = _render("materials", 800, 600, 64, 6,
-                            ior=ior, light=light, on_tpu=on_tpu)
-            sweep.append(c2)
-            print("config 2:", c2, flush=True)
+    # --- config 2: materials + IOR/light sweep, 800x600 @ 64 spp ---------
+    # the shininess/roughness sweep itself is scene_materials (11x11
+    # sphere grid); that scene is sky-lit with no transparency — faithful
+    # to montecarlo.cpp:743-753 — so the IOR/light knobs are swept on
+    # box_balls, where all four material cases (and an emissive light)
+    # are live and the knobs visibly change the image
+    c2, _ = _render("materials", 800, 600, 64, 6, on_tpu=on_tpu)
+    print("config 2 (materials):", c2, flush=True)
+    sweep = [c2]
+    for ior, light in ((1.0, 0.4), (1.5, 0.4), (2.5, 0.4), (1.5, 1.2)):
+        c2s, _ = _render("box_balls", 800, 600, 64, 6,
+                         ior=ior, light=light, on_tpu=on_tpu)
+        sweep.append(c2s)
+        print("config 2 (sweep):", c2s, flush=True)
     report["configs"]["2_materials_sweep"] = sweep
 
     # --- config 3: mesh scene, 8 bounces, 256 spp ------------------------
@@ -95,7 +101,7 @@ def main():
                       "inverse_rendering.py")
     t0 = time.perf_counter()
     rc = subprocess.call([sys.executable, ex, "--width", "160",
-                          "--height", "120", "--steps", "40"])
+                          "--height", "120", "--steps", "120"])
     fit_json = os.path.join(os.path.dirname(ex), "captures",
                             "inverse_rendering.json")
     entry = {"rc": rc, "seconds": round(time.perf_counter() - t0, 2)}

@@ -57,10 +57,22 @@ def main():
     platform = jax.devices()[0].platform
     w, h = args.width, args.height
     rays = w * h * args.passes * args.bounces
+    note = None
+    if args.cpu_virtual or platform == "cpu":
+        note = ("virtual CPU mesh: all devices share ONE physical CPU, "
+                "so aggregate rays/s staying ~flat across device counts "
+                "(efficiency_vs_1 ~ 1/N) is the EXPECTED structural "
+                "result — it validates that the sharded program "
+                "compiles and runs at every N, not true scaling. The "
+                ">=85% BASELINE target needs real multi-chip hardware "
+                "(out of scope for this bench host; see "
+                "__graft_entry__.dryrun_multichip and "
+                "tests/test_sharding.py for the correctness checks).")
     report = {
         "platform": platform,
         "devices_visible": ndev,
         "virtual_cpu_mesh": bool(args.cpu_virtual),
+        "note": note,
         "scene": args.scene,
         "config": {"width": w, "height": h, "bounces": args.bounces,
                    "passes": args.passes},

@@ -1,0 +1,146 @@
+"""Fit per-scene orbit poses to the reference capture gallery.
+
+The reference's de-facto regression oracle is its screenshot gallery
+(/root/reference/captures/N-04-1.png — scene N of the Q..I carousel at
+light 0.4 / IOR 1, README.md). The captures were taken with an
+interactive trackball, so their poses are unknown; the round-2 gallery
+compared fields at the DEFAULT pose and its NCC column was noise
+(VERDICT missing #5). This script recovers each capture's pose by
+coarse-to-fine grid search over the orbit parameters (yaw, pitch, zoom)
+maximizing normalized cross-correlation of 64x48 luminance fields, and
+writes examples/captures/poses.json — which render_gallery.py then uses
+so its NCC numbers are a meaningful geometry check.
+
+    python examples/fit_poses.py [--spp 8]
+"""
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(HERE, ".."))
+
+_spec = importlib.util.spec_from_file_location(
+    "render_gallery", os.path.join(HERE, "render_gallery.py"))
+_gal = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_gal)
+read_png = _gal.read_png
+REF_CAPTURE_ORDER = _gal.REF_CAPTURE_ORDER
+REF_DIR = _gal.REF_DIR
+
+FIT_W, FIT_H = 64, 48
+
+
+def _luma_field(img, w=FIT_W, h=FIT_H):
+    """[H, W, 3] float (row 0 = TOP) -> [h, w] mean-pooled luminance."""
+    H, W = img.shape[:2]
+    ys = (np.arange(h + 1) * H) // h
+    xs = (np.arange(w + 1) * W) // w
+    lum = img[..., :3].mean(axis=-1)
+    out = np.empty((h, w), np.float32)
+    for j in range(h):
+        for i in range(w):
+            out[j, i] = lum[ys[j]:ys[j + 1], xs[i]:xs[i + 1]].mean()
+    return out
+
+
+def _ncc(a, b):
+    a = a - a.mean()
+    b = b - b.mean()
+    den = np.sqrt((a * a).sum() * (b * b).sum())
+    return float((a * b).sum() / den) if den > 0 else 0.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=os.path.join(HERE, "captures",
+                                                  "poses.json"))
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from montecarlo_pathtracing_tpu.utils.profiling import (
+        enable_compilation_cache)
+    enable_compilation_cache()
+    from montecarlo_pathtracing_tpu.scene import scenes
+    from montecarlo_pathtracing_tpu.scene.device import compile_scene
+    from montecarlo_pathtracing_tpu.render.camera import (
+        default_rt_camera, camera_rays)
+    from montecarlo_pathtracing_tpu.models.montecarlo import raytrace
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    spp = args.spp
+
+    poses = {}
+    for idx, name in enumerate(REF_CAPTURE_ORDER, start=1):
+        ref_path = os.path.join(REF_DIR, f"{idx}-04-1.png")
+        if not os.path.exists(ref_path):
+            continue
+        ref = read_png(ref_path).astype(np.float32) / 255.0
+        ref_f = _luma_field(ref)
+
+        dev = compile_scene(scenes.build(name, 0.4))
+
+        @jax.jit
+        def render(origin, dirs, tc):
+            def body(k, acc):
+                return acc + raytrace(
+                    dev, origin, dirs, tc, k, nb_bounces=6,
+                    refract_ind=jnp.float32(1.0), use_pallas=on_tpu)
+            acc = jax.lax.fori_loop(
+                0, spp, body, jnp.zeros((dirs.shape[0], 3), jnp.float32))
+            return acc / spp
+
+        def score(yaw, pitch, zoom):
+            proj, view = default_rt_camera(FIT_W, FIT_H, yaw=yaw,
+                                           pitch=pitch, zoom=zoom)
+            origin, dirs, tc = camera_rays(proj, view, FIT_W, FIT_H)
+            img = np.asarray(render(
+                jnp.asarray(origin), jnp.asarray(dirs.reshape(-1, 3)),
+                jnp.asarray(tc.reshape(-1, 2)))).reshape(FIT_H, FIT_W, 3)
+            img = img[::-1]               # row 0 bottom -> top, like PNG
+            return _ncc(_luma_field(img, FIT_W, FIT_H), ref_f)
+
+        t0 = time.time()
+        best = (-2.0, 0.0, 0.0, 1.0)
+        # coarse grid
+        for yaw in (-30, -20, -10, 0, 10, 20, 30):
+            for pitch in (-20, -10, 0, 10):
+                for zoom in (0.55, 0.7, 0.85, 1.0, 1.2):
+                    s = score(yaw, pitch, zoom)
+                    if s > best[0]:
+                        best = (s, yaw, pitch, zoom)
+        # refine around the winner
+        _, by, bp, bz = best
+        for yaw in np.arange(by - 7.5, by + 8, 2.5):
+            for pitch in np.arange(bp - 7.5, bp + 8, 2.5):
+                for zoom in (bz * 0.9, bz, bz * 1.1):
+                    s = score(float(yaw), float(pitch), float(zoom))
+                    if s > best[0]:
+                        best = (s, float(yaw), float(pitch), float(zoom))
+        s, by, bp, bz = best
+        poses[name] = {"yaw": round(by, 2), "pitch": round(bp, 2),
+                       "zoom": round(bz, 3), "ncc_64x48": round(s, 3),
+                       "ref_capture": f"{idx}-04-1.png"}
+        print(f"{name}: ncc {s:.3f} at yaw {by} pitch {bp} zoom {bz} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(poses, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,10 +38,27 @@ REF_DIR = "/root/reference/captures"
 
 # per-scene orbit poses approximating the reference captures' trackball
 # state (the default head-on pose puts a column in front of the colonnes
-# camera; the capture looks down the colonnade)
+# camera; the capture looks down the colonnade). Overridden by
+# captures/poses.json when present — the NCC-fit poses produced by
+# examples/fit_poses.py, which make the gallery's luma_ncc a meaningful
+# geometry regression check instead of pose noise.
 POSES = {
     "colonnes": dict(yaw=10.0, pitch=-5.0, zoom=0.6),
 }
+
+
+def load_poses(outdir):
+    path = os.path.join(outdir, "poses.json")
+    poses = dict(POSES)
+    try:
+        with open(path) as f:
+            fit = json.load(f)
+        for name, p in fit.items():
+            poses[name] = {k: p[k] for k in ("yaw", "pitch", "zoom")
+                           if k in p}
+    except (OSError, ValueError, KeyError):
+        pass
+    return poses
 
 
 def read_png(path):
@@ -154,11 +171,12 @@ def main():
               "scenes": {}}
 
     names = args.scenes or list(scenes.SCENES)
+    poses = load_poses(args.out)
     from montecarlo_pathtracing_tpu.render.camera import default_rt_camera
     for name in names:
         t0 = time.perf_counter()
         dev = compile_scene(scenes.build(name, light_intensity=args.light))
-        proj, view = default_rt_camera(w, h, **POSES.get(name, {}))
+        proj, view = default_rt_camera(w, h, **poses.get(name, {}))
         r = Renderer(dev, RenderConfig(
             width=w, height=h, nb_bounces=args.bounces,
             refract_ind=args.ior, use_pallas=on_tpu, tile_rays=1 << 17),
@@ -168,6 +186,7 @@ def main():
         r.save_png(png)
         entry = {
             "png": os.path.basename(png),
+            "pose": poses.get(name, {}),
             "seconds": round(time.perf_counter() - t0, 1),
             "mean": round(float(img.mean()), 5),
             "p99": round(float(np.quantile(img, 0.99)), 4),
