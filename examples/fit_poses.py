@@ -34,33 +34,25 @@ _spec.loader.exec_module(_gal)
 read_png = _gal.read_png
 REF_CAPTURE_ORDER = _gal.REF_CAPTURE_ORDER
 REF_DIR = _gal.REF_DIR
+ref_viewport = _gal.ref_viewport
+panel_mask = _gal.panel_mask
+masked_ncc = _gal.masked_ncc
 
 FIT_W, FIT_H = 64, 48
 
 
 def _luma_field(img, w=FIT_W, h=FIT_H):
-    """[H, W, 3] float (row 0 = TOP) -> [h, w] mean-pooled luminance."""
-    H, W = img.shape[:2]
-    ys = (np.arange(h + 1) * H) // h
-    xs = (np.arange(w + 1) * W) // w
-    lum = img[..., :3].mean(axis=-1)
-    out = np.empty((h, w), np.float32)
-    for j in range(h):
-        for i in range(w):
-            out[j, i] = lum[ys[j]:ys[j + 1], xs[i]:xs[i + 1]].mean()
-    return out
+    """[H, W, 3] float (row 0 = TOP) -> [h, w] pooled luminance, with the
+    same weights as the gallery's comparison."""
+    return _gal.downsample_luma(np.clip(img[..., :3], 0.0, 1.0), w, h)
 
 
-def _ncc(a, b):
-    a = a - a.mean()
-    b = b - b.mean()
-    den = np.sqrt((a * a).sum() * (b * b).sum())
-    return float((a * b).sum() / den) if den > 0 else 0.0
+_MASK = panel_mask(FIT_H, FIT_W)     # exclude the capture's ImGui panel
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--spp", type=int, default=16)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=os.path.join(HERE, "captures",
                                                   "poses.json"))
@@ -87,7 +79,7 @@ def main():
         ref_path = os.path.join(REF_DIR, f"{idx}-04-1.png")
         if not os.path.exists(ref_path):
             continue
-        ref = read_png(ref_path).astype(np.float32) / 255.0
+        ref = ref_viewport(read_png(ref_path))   # drop window chrome
         ref_f = _luma_field(ref)
 
         dev = compile_scene(scenes.build(name, 0.4))
@@ -102,39 +94,62 @@ def main():
                 0, spp, body, jnp.zeros((dirs.shape[0], 3), jnp.float32))
             return acc / spp
 
-        def score(yaw, pitch, zoom):
-            proj, view = default_rt_camera(FIT_W, FIT_H, yaw=yaw,
-                                           pitch=pitch, zoom=zoom)
+        def score(yaw, pitch, zoom, center=(0.0, 0.0, 0.0)):
+            proj, view = default_rt_camera(FIT_W, FIT_H, center=center,
+                                           yaw=yaw, pitch=pitch, zoom=zoom)
             origin, dirs, tc = camera_rays(proj, view, FIT_W, FIT_H)
             img = np.asarray(render(
                 jnp.asarray(origin), jnp.asarray(dirs.reshape(-1, 3)),
                 jnp.asarray(tc.reshape(-1, 2)))).reshape(FIT_H, FIT_W, 3)
             img = img[::-1]               # row 0 bottom -> top, like PNG
-            return _ncc(_luma_field(img, FIT_W, FIT_H), ref_f)
+            return masked_ncc(_luma_field(img, FIT_W, FIT_H), ref_f, _MASK)
 
         t0 = time.time()
-        best = (-2.0, 0.0, 0.0, 1.0)
-        # coarse grid
+        best = (-2.0, 0.0, 0.0, 1.0, (0.0, 0.0, 0.0))
+        # stage A: coarse orbit grid
         for yaw in (-30, -20, -10, 0, 10, 20, 30):
-            for pitch in (-20, -10, 0, 10):
+            for pitch in (-25, -15, -5, 5, 15):
                 for zoom in (0.55, 0.7, 0.85, 1.0, 1.2):
                     s = score(yaw, pitch, zoom)
                     if s > best[0]:
-                        best = (s, yaw, pitch, zoom)
-        # refine around the winner
-        _, by, bp, bz = best
-        for yaw in np.arange(by - 7.5, by + 8, 2.5):
-            for pitch in np.arange(bp - 7.5, bp + 8, 2.5):
-                for zoom in (bz * 0.9, bz, bz * 1.1):
-                    s = score(float(yaw), float(pitch), float(zoom))
+                        best = (s, yaw, pitch, zoom, (0.0, 0.0, 0.0))
+        # stage B: pan — the captures' trackball pans the pivot, which a
+        # pure orbit cannot express; coarse world-space pivot grid
+        _, by, bp, bz, _ = best
+        for cx in (-60, -30, 0, 30, 60):
+            for cy in (-60, -30, 0, 30, 60):
+                for cz in (-60, -30, 0, 30, 60):
+                    s = score(by, bp, bz, (cx, cy, cz))
                     if s > best[0]:
-                        best = (s, float(yaw), float(pitch), float(zoom))
-        s, by, bp, bz = best
+                        best = (s, by, bp, bz, (cx, cy, cz))
+        # stage C: refine orbit + pan around the winner
+        for _ in range(2):
+            _, by, bp, bz, (cx, cy, cz) = best
+            for yaw in np.arange(by - 5, by + 5.1, 2.5):
+                for pitch in np.arange(bp - 5, bp + 5.1, 2.5):
+                    for zoom in (bz * 0.92, bz, bz * 1.08):
+                        s = score(float(yaw), float(pitch), float(zoom),
+                                  (cx, cy, cz))
+                        if s > best[0]:
+                            best = (s, float(yaw), float(pitch),
+                                    float(zoom), (cx, cy, cz))
+            _, by, bp, bz, (cx, cy, cz) = best
+            for dx in (-15, 0, 15):
+                for dy in (-15, 0, 15):
+                    for dz in (-15, 0, 15):
+                        s = score(by, bp, bz,
+                                  (cx + dx, cy + dy, cz + dz))
+                        if s > best[0]:
+                            best = (s, by, bp, bz,
+                                    (cx + dx, cy + dy, cz + dz))
+        s, by, bp, bz, ctr = best
         poses[name] = {"yaw": round(by, 2), "pitch": round(bp, 2),
-                       "zoom": round(bz, 3), "ncc_64x48": round(s, 3),
+                       "zoom": round(bz, 3),
+                       "center": [round(c, 1) for c in ctr],
+                       "ncc_64x48": round(s, 3),
                        "ref_capture": f"{idx}-04-1.png"}
         print(f"{name}: ncc {s:.3f} at yaw {by} pitch {bp} zoom {bz} "
-              f"({time.time() - t0:.0f}s)", flush=True)
+              f"center {ctr} ({time.time() - t0:.0f}s)", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

@@ -54,8 +54,10 @@ def load_poses(outdir):
         with open(path) as f:
             fit = json.load(f)
         for name, p in fit.items():
-            poses[name] = {k: p[k] for k in ("yaw", "pitch", "zoom")
-                           if k in p}
+            pose = {k: p[k] for k in ("yaw", "pitch", "zoom") if k in p}
+            if "center" in p:
+                pose["center"] = tuple(p["center"])
+            poses[name] = pose
     except (OSError, ValueError, KeyError):
         pass
     return poses
@@ -117,6 +119,42 @@ def read_png(path):
         prev = rec.astype(np.uint8)
         out[y] = prev.reshape(w, nch)
     return out[..., :3].astype(np.float32) / 255.0
+
+
+VIEWPORT = (1280, 1000)    # the app's window size (montecarlo.cpp:801)
+# ImGui settings panel region to EXCLUDE from comparisons, as fractions
+# of the viewport (the captures are full-window screenshots with the
+# panel overlaid top-left — comparing under it measures the panel, not
+# the render)
+PANEL_FRAC = (0.56, 0.48)
+
+
+def ref_viewport(img):
+    """Crop the window chrome from a reference screenshot: the GL
+    viewport is 1280x1000, 10 px in from the bottom/left window border
+    (title bar on top takes the rest)."""
+    h, w = img.shape[:2]
+    vw, vh = VIEWPORT
+    if h <= vh or w <= vw:
+        return img
+    x0 = (w - vw) // 2
+    y0 = h - 10 - vh
+    return img[y0:y0 + vh, x0:x0 + vw]
+
+
+def panel_mask(gh=48, gw=64):
+    m = np.ones((gh, gw), bool)
+    m[:int(PANEL_FRAC[1] * gh), :int(PANEL_FRAC[0] * gw)] = False
+    return m
+
+
+def masked_ncc(a, b, m=None):
+    if m is not None:
+        a, b = a[m], b[m]
+    a = a - a.mean()
+    b = b - b.mean()
+    d = np.sqrt((a * a).sum() * (b * b).sum())
+    return float((a * b).sum() / d) if d > 0 else 0.0
 
 
 def downsample_luma(img, gw=64, gh=48):
@@ -196,14 +234,15 @@ def main():
             refp = os.path.join(
                 REF_DIR, f"{REF_CAPTURE_ORDER.index(name) + 1}-04-1.png")
             if os.path.exists(refp):
-                ref = read_png(refp)
+                ref = ref_viewport(read_png(refp))   # drop window chrome
                 ours = np.clip(img[::-1], 0.0, 1.0)  # row0=bottom -> top
                 ga = downsample_luma(ours)
                 gb = downsample_luma(ref)
+                m = panel_mask()                     # exclude the ImGui UI
                 entry["ref_capture"] = os.path.basename(refp)
-                entry["ref_luma_mean"] = round(float(gb.mean()), 4)
-                entry["our_luma_mean"] = round(float(ga.mean()), 4)
-                entry["luma_ncc"] = round(ncc(ga, gb), 3)
+                entry["ref_luma_mean"] = round(float(gb[m].mean()), 4)
+                entry["our_luma_mean"] = round(float(ga[m].mean()), 4)
+                entry["luma_ncc"] = round(masked_ncc(ga, gb, m), 3)
         report["scenes"][name] = entry
         print(name, entry, flush=True)
 

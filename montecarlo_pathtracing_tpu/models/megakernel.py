@@ -283,7 +283,13 @@ def _trace_fold(groups, tab, sbb, o, d, n_prev, p_prev, scr, cull):
                 topc = dircode == 1
                 nv = _vwhere(topc, (jnp.zeros_like(nv[0]),) * 3, nv)
 
-            take = dist < bd
+            # pad-column flag folded into the winner update as
+            # defense-in-depth: the @pl.when predicate also carries it,
+            # but Mosaic has executed mispredicated pl.when bodies
+            # before (round-2 lesson) — a pad column must never win
+            # even then (mirrors the mesh kernel, where pads are
+            # harmless degenerate triangles)
+            take = (tab[31, c] > 0.0) & (dist < bd)
             bd_s[...] = jnp.where(take, dist, bd)
             nx_s[...] = jnp.where(take, nv[0], nx)
             ny_s[...] = jnp.where(take, nv[1], ny)
