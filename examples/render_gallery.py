@@ -54,7 +54,8 @@ def load_poses(outdir):
         with open(path) as f:
             fit = json.load(f)
         for name, p in fit.items():
-            pose = {k: p[k] for k in ("yaw", "pitch", "zoom") if k in p}
+            pose = {k: p[k] for k in ("yaw", "pitch", "zoom", "roll")
+                    if k in p}
             if "center" in p:
                 pose["center"] = tuple(p["center"])
             poses[name] = pose
@@ -142,7 +143,7 @@ def ref_viewport(img):
     return img[y0:y0 + vh, x0:x0 + vw]
 
 
-def panel_mask(gh=48, gw=64):
+def panel_mask(gh=50, gw=64):
     m = np.ones((gh, gw), bool)
     m[:int(PANEL_FRAC[1] * gh), :int(PANEL_FRAC[0] * gw)] = False
     return m
@@ -157,7 +158,7 @@ def masked_ncc(a, b, m=None):
     return float((a * b).sum() / d) if d > 0 else 0.0
 
 
-def downsample_luma(img, gw=64, gh=48):
+def downsample_luma(img, gw=64, gh=50):
     """Mean luminance on a gw x gh grid (shape-normalizing)."""
     h, w = img.shape[:2]
     lum = img @ np.array([0.299, 0.587, 0.114], np.float32)
@@ -200,7 +201,8 @@ def main():
         RenderConfig, Renderer)
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    w, h, spp = (200, 150, 16) if args.quick else (800, 600, args.spp)
+    # 800x625 matches the capture viewport's 1.28 aspect (1280x1000)
+    w, h, spp = (200, 150, 16) if args.quick else (800, 625, args.spp)
     os.makedirs(args.out, exist_ok=True)
     report = {"config": {"width": w, "height": h, "spp": spp,
                          "light": args.light, "ior": args.ior,
@@ -211,10 +213,16 @@ def main():
     names = args.scenes or list(scenes.SCENES)
     poses = load_poses(args.out)
     from montecarlo_pathtracing_tpu.render.camera import default_rt_camera
+    from montecarlo_pathtracing_tpu.utils import transforms as tf
     for name in names:
         t0 = time.perf_counter()
         dev = compile_scene(scenes.build(name, light_intensity=args.light))
-        proj, view = default_rt_camera(w, h, **poses.get(name, {}))
+        pose = dict(poses.get(name, {}))
+        roll = pose.pop("roll", 0.0)
+        proj, view = default_rt_camera(w, h, **pose)
+        if roll:
+            # screen-plane rotation (trackball edge-drag Z-rotate)
+            view = tf.rotate_z(roll).astype(np.float32) @ view
         r = Renderer(dev, RenderConfig(
             width=w, height=h, nb_bounces=args.bounces,
             refract_ind=args.ior, use_pallas=on_tpu, tile_rays=1 << 17),

@@ -51,7 +51,8 @@ MESH_TILE = 256     # rays per mesh tile (sublane-major [T, C] layout)
 # worklist budgets (work items per tile, incl. the sentinel); overflow
 # falls back to the brute kernel
 AN_BUDGET = 32
-MESH_BUDGET = 24
+MESH_BUDGET = 24    # (historical; the mesh route now sizes work by
+                    # K_OCCL iterations instead of a static budget)
 
 
 # ---------------------------------------------------------------------------
