@@ -485,9 +485,15 @@ def _mega_kernel(groups, nb_bounces, has_transparent, cull,
             # refraction march-through (:146-153); mixed keeps un-refracted D
             d_in = _vwhere(cont & refr_case, _refract_glsl(d, N, ior), d)
             d_in = _vwhere(refr_lane, d_in, unit_z)
+            # park non-refracting lanes far above every prim AABB: their
+            # inner-fold results are discarded below, and with culling on
+            # a tile whose lanes all parked fails every super/prim box
+            # test — the second fold costs ~nothing unless rays actually
+            # refract (mirrors ops/sort_rays.PARK_Z in the wavefront)
             o_in = _vwhere(refr_lane,
                            (P[0] - BIAS * N[0], P[1] - BIAS * N[1],
-                            P[2] - BIAS * N[2]), o)
+                            P[2] - BIAS * N[2]),
+                           (o[0], o[1], z + np.float32(2.0e8)))
             _, N2r, P2r, *_unused = _trace_fold(
                 groups, tab_ref, sbb_ref, o_in, d_in, N, P, scr, cull)
             N2 = _vwhere(refr_lane, N2r, unit_z)
