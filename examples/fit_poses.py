@@ -6,12 +6,14 @@ light 0.4 / IOR 1, README.md). The captures were taken with an
 interactive trackball, so their poses are unknown; the round-2 gallery
 compared fields at the DEFAULT pose and its NCC column was noise
 (VERDICT missing #5). This script recovers each capture's pose by
-coarse-to-fine grid search over the orbit parameters (yaw, pitch, zoom)
-maximizing normalized cross-correlation of 64x48 luminance fields, and
-writes examples/captures/poses.json — which render_gallery.py then uses
-so its NCC numbers are a meaningful geometry check.
+coarse-to-fine grid search over orbit (yaw, pitch, zoom), pivot pan and
+screen-plane roll, maximizing masked NCC of 64x50 luminance fields
+(window chrome cropped, ImGui panel excluded), with a noise-robust
+top-8 rescore at 6x spp. Writes examples/captures/poses.json — which
+render_gallery.py then uses so its NCC numbers are a meaningful
+geometry check.
 
-    python examples/fit_poses.py [--spp 8]
+    python examples/fit_poses.py [--spp 16]
 """
 from __future__ import annotations
 

@@ -5,14 +5,14 @@ The reference's regression oracle is 26 screenshots in
 /root/reference/captures (README.md "Ensemble des scenes avec une light
 intensity a 0.4 et un indice de refraction de 1"): N-04-1.png is the Nth
 scene of the Q..I keyboard carousel at light 0.4 / IOR 1. This script
-renders the same 8 scenes (plus the new mesh fixtures) at 800x600 with
-those settings, writes PNGs to examples/captures/, and — when the
-matching reference capture exists — records downsampled luminance
-statistics (mean/std and normalized cross-correlation on a 64x48 grid)
-to examples/captures/gallery.json so gross material/geometry divergence
-is measurable, not just eyeballable. Camera pose is the framework's
-default orbit (the reference capture pose is an interactive trackball
-state, so per-pixel diffs are not meaningful; field statistics are).
+renders the same 8 scenes (plus the new mesh fixtures) at 800x625 (the
+capture viewport's 1.28 aspect) with those settings, using the
+NCC-fitted poses from examples/fit_poses.py, writes PNGs to
+examples/captures/, and records masked luminance comparisons (64x50
+grid; window chrome cropped and the capture's ImGui panel excluded)
+to examples/captures/gallery.json. With fitted poses the NCC column is
+a real geometry check — 0.98/0.97 on the Cornell boxes — gated by
+tests/test_gallery_goldens.py.
 
     python examples/render_gallery.py [--spp 256] [--quick]
 """
