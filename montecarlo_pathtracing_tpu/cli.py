@@ -48,7 +48,10 @@ def _add_render_args(p):
     p.add_argument("--zoom", type=float, default=1.0,
                    help="camera distance scale (<1 closer, >1 farther)")
     p.add_argument("--pallas", action="store_true",
-                   help="use the fused Pallas trace kernels (TPU)")
+                   help="force the fused Pallas trace kernels (default: "
+                        "auto — on when running on TPU)")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="force the dense XLA path even on TPU")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--devices", type=int, default=0,
                    help="shard rays over this many devices (0 = single)")
@@ -125,11 +128,18 @@ def main(argv=None):
     from .scene.device import compile_scene
     from .render.renderer import RenderConfig, Renderer
 
+    import jax
+    # auto-route: the Pallas engine on TPU, dense XLA elsewhere (the
+    # dense path is the oracle-parity reference and the only one that
+    # compiles on CPU backends)
+    use_pallas = (args.pallas
+                  or (jax.devices()[0].platform == "tpu"
+                      and not args.no_pallas))
     cfg = RenderConfig(
         width=args.width, height=args.height, nb_bounces=args.bounces,
         subsampling=args.subsampling, refract_ind=args.ior,
         light_intensity=args.light, integrator=args.integrator,
-        flat_face=args.flat_face, use_pallas=args.pallas,
+        flat_face=args.flat_face, use_pallas=use_pallas,
         shard_devices=args.devices,
     )
     t0 = time.time()
