@@ -75,11 +75,15 @@ def main():
             r.render_pass()
             float(jnp.sum(r._acc))          # tunnel-safe sync
             compile_s = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            for _ in range(passes):
-                r.render_pass()
-            float(jnp.sum(r._acc))
-            dt = time.perf_counter() - t0
+            # best of 2 windows: the remote-TPU tunnel swings >2x with
+            # transient contention (see bench.py)
+            dt = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for _ in range(passes):
+                    r.render_pass()
+                float(jnp.sum(r._acc))
+                dt = min(dt, time.perf_counter() - t0)
             img = r.image()
             rps = w * h * passes * bounces / dt
             entry = {
