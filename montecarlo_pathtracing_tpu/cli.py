@@ -47,10 +47,11 @@ def _add_render_args(p):
                    help="orbit pitch in degrees")
     p.add_argument("--zoom", type=float, default=1.0,
                    help="camera distance scale (<1 closer, >1 farther)")
-    p.add_argument("--pallas", action="store_true",
+    g = p.add_mutually_exclusive_group()
+    g.add_argument("--pallas", action="store_true",
                    help="force the fused Pallas trace kernels (default: "
                         "auto — on when running on TPU)")
-    p.add_argument("--no-pallas", action="store_true",
+    g.add_argument("--no-pallas", action="store_true",
                    help="force the dense XLA path even on TPU")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--devices", type=int, default=0,

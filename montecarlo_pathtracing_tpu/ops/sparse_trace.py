@@ -325,13 +325,24 @@ def mesh_best_rows_sparse(o, d, tri, cbb, interpret=False):
     AABBs. Returns (a, row) each [M]. Winners match the brute fold:
     a chunk is only ever skipped when its conservative entry distance
     cannot beat any ray's current best (strictly-closer fold semantics),
-    and the while_loop runs until no skipped chunk could."""
+    and the while_loop runs until no skipped chunk could.
+
+    Caveat (documented, not defended): chunks are processed
+    nearest-entry-first rather than in ascending chunk order, so an
+    EXACT float tie in `a` between triangles in different chunks (shared
+    edges, duplicated geometry) may pick a different winner row than the
+    brute fold; the parity tests use scenes without cross-chunk ties."""
     m = o.shape[1]
     nt = m // MESH_TILE
     nchunks = tri.shape[1] // PRIM_CHUNK
     bundles = tile_bundles(o, d, MESH_TILE)
-    tlo = bundle_box_entry(bundles, cbb[:, :nchunks])   # [nt, S]; INF=miss
     from .worklist import INF
+    tlo = bundle_box_entry(bundles, cbb[:, :nchunks])   # [nt, S]; INF=miss
+    # conservative downward margin mirroring `bound`'s upward one: the
+    # entry bound is computed with round-to-nearest divisions, so a hit
+    # within a few ulps of the chunk entry could otherwise be pruned
+    tlo = jnp.where(tlo >= INF, INF,
+                    tlo * np.float32(1.0 - 1e-4) - np.float32(1e-4))
     from .pallas_trace import _safe_rcp
 
     # per-ray root-box exit cap: any hit's local parameter lies inside

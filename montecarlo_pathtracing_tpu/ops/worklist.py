@@ -73,7 +73,10 @@ def bundle_box_entry(bundles, boxes):
     cannot reach the box. t_lo lower-bounds every contained ray's slab
     entry, so `t_lo >= max(best)` proves a box cannot improve any ray's
     strictly-closer winner (the occlusion prune of the iterative mesh
-    trace, sparse_trace.mesh_best_rows_occl)."""
+    trace, sparse_trace.mesh_best_rows_occl). Degenerate (padding)
+    boxes with min > max are forced to INF explicitly — the interval
+    test alone can admit them for wide bundles whose origin interval
+    spans the sentinel coordinates."""
     olo, ohi, dlo, dhi = bundles
     t_lo = jnp.zeros((olo.shape[1], boxes.shape[1]), jnp.float32)
     t_hi = jnp.full_like(t_lo, INF)
@@ -84,7 +87,8 @@ def bundle_box_entry(bundles, boxes):
         lo2, hi2 = _cond_interval(-dhi[c][:, None], ohi[c][:, None] - blo)
         t_lo = jnp.maximum(t_lo, jnp.maximum(lo1, lo2))
         t_hi = jnp.minimum(t_hi, jnp.minimum(hi1, hi2))
-    return jnp.where(t_hi >= t_lo, t_lo, INF)
+    real = jnp.all(boxes[0:3] <= boxes[3:6], axis=0)[None, :]
+    return jnp.where((t_hi >= t_lo) & real, t_lo, INF)
 
 
 def bundle_box_votes(bundles, boxes):
@@ -97,7 +101,11 @@ def bundle_box_votes(bundles, boxes):
     Per axis c, a contained ray's position interval at t >= 0 is
     [olo_c + t*dlo_c, ohi_c + t*dhi_c]; it can overlap [blo_c, bhi_c]
     iff  dlo_c * t <= bhi_c - olo_c  AND  -dhi_c * t <= ohi_c - blo_c.
-    Intersect the six per-condition t-intervals; non-empty => vote."""
+    Intersect the six per-condition t-intervals; non-empty => vote.
+    Degenerate boxes (min > max: block padding) are masked explicitly:
+    the sentinel coordinates alone don't reject a bundle whose origin
+    interval spans them (wide/incoherent tiles), and spurious votes
+    burn worklist budget and can force the brute fallback."""
     olo, ohi, dlo, dhi = bundles
     t_lo = jnp.zeros((olo.shape[1], boxes.shape[1]), jnp.float32)
     t_hi = jnp.full_like(t_lo, INF)
@@ -108,7 +116,8 @@ def bundle_box_votes(bundles, boxes):
         lo2, hi2 = _cond_interval(-dhi[c][:, None], ohi[c][:, None] - blo)
         t_lo = jnp.maximum(t_lo, jnp.maximum(lo1, lo2))
         t_hi = jnp.minimum(t_hi, jnp.minimum(hi1, hi2))
-    return t_hi >= t_lo
+    real = jnp.all(boxes[0:3] <= boxes[3:6], axis=0)[None, :]
+    return (t_hi >= t_lo) & real
 
 
 def build_worklist(votes, budget: int):

@@ -341,19 +341,26 @@ class Renderer:
         """Resume from an .npz checkpoint. Configs are compared with
         forward/backward compatibility: keys absent from the saved config
         (written by an older build, before a RenderConfig field existed)
-        are filled with the field's default, and unknown saved keys are
-        ignored — so upgrading the framework does not orphan in-flight
-        checkpoints. Any remaining mismatch still rejects, because every
-        current field affects either the accumulator layout (width/height/
-        subsampling/pixel_order/tile_rays) or the accumulated radiance
-        itself (bounces/IOR/integrator/...)."""
+        are filled with the field's DATACLASS default — not the current
+        run's value, which would let a new non-default setting slip past
+        the check — and unknown saved keys are ignored, so upgrading the
+        framework does not orphan in-flight checkpoints. Any remaining
+        mismatch still rejects, because every compared field affects
+        either the accumulator layout (width/height/subsampling/
+        pixel_order/tile_rays) or the accumulated radiance itself
+        (bounces/IOR/integrator/...). Engine-routing knobs with a
+        documented <=1-ulp radiance effect (use_pallas/use_megakernel/
+        cull_chunks) are exempt, so a checkpoint written before TPU
+        auto-routing resumes without guessing --no-pallas."""
         z = np.load(path, allow_pickle=False)
         saved = json.loads(str(z["config"]))
         current = asdict(self.config)
-        merged = {k: saved.get(k, default) for k, default in current.items()}
-        if merged != current:
-            diff = {k: (merged[k], current[k]) for k in current
-                    if merged[k] != current[k]}
+        defaults = asdict(type(self.config)())
+        routing_only = {"use_pallas", "use_megakernel", "cull_chunks"}
+        merged = {k: saved.get(k, defaults[k]) for k in current}
+        diff = {k: (merged[k], current[k]) for k in current
+                if merged[k] != current[k] and k not in routing_only}
+        if diff:
             raise ValueError(
                 f"checkpoint config mismatch (saved, current): {diff}")
         self._acc = jnp.asarray(z["acc"])

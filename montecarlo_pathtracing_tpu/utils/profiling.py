@@ -82,6 +82,7 @@ def enable_compilation_cache(path: str | None = None,
     milliseconds. Called by every entry point (bench.py, the CLI,
     __graft_entry__). Opt out with MCPT_NO_COMPILE_CACHE=1.
     """
+    import hashlib
     import os
 
     if os.environ.get("MCPT_NO_COMPILE_CACHE"):
@@ -91,6 +92,27 @@ def enable_compilation_cache(path: str | None = None,
             "MCPT_COMPILE_CACHE",
             os.path.join(os.path.dirname(os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+        # Scope the cache per backend AND per machine microarchitecture:
+        # XLA:CPU persists AOT results compiled for the *build* host's ISA
+        # features, and loading them on a host with different features is a
+        # SIGILL hazard (cpu_aot_loader warns exactly this). Keying the
+        # directory on the cpuinfo flags set makes incompatible hosts use
+        # disjoint caches instead of sharing one.
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            backend = "unknown"
+        fp = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                        fp = hashlib.sha1(flags.encode()).hexdigest()[:12]
+                        break
+        except OSError:
+            pass
+        path = os.path.join(path, f"{backend}-{fp or 'nofp'}")
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
