@@ -71,6 +71,9 @@ def main():
                        tile_rays=1 << 17, passes_per_call=1,
                        use_pallas=on_tpu)
     r = Renderer(dev, cfg)
+    from montecarlo_pathtracing_tpu.models.megakernel import mega_eligible
+    route = ("megakernel" if (on_tpu and mega_eligible(dev))
+             else ("pallas-sparse" if on_tpu else "dense-xla"))
 
     # NB: through the remote-TPU tunnel, block_until_ready alone does not
     # observe completion reliably — a value fetch does. Sync by fetching a
@@ -78,34 +81,54 @@ def main():
     def sync():
         return float(jnp.sum(r._acc))
 
+    t0 = time.perf_counter()
     for _ in range(warmup_passes):
         r.render_pass()
     sync()
+    warmup_s = time.perf_counter() - t0
 
-    # best of 3 timing windows: the remote-TPU tunnel's throughput
+    # best-of-N timing windows: the remote-TPU tunnel's throughput
     # swings >2x with transient contention; the fastest window is the
-    # honest per-chip capability (each window is a full 16-pass render)
-    dt = float("inf")
-    for _ in range(3):
+    # honest per-chip capability (each window is a full 16-pass render).
+    # Every window time is recorded so the JSON can adjudicate its own
+    # variance (the round-3 "regression" was a single unexplained swing).
+    windows = []
+    for _ in range(6):
         t0 = time.perf_counter()
         for _ in range(timed_passes):
             r.render_pass()
         sync()
-        dt = min(dt, time.perf_counter() - t0)
+        windows.append(round(time.perf_counter() - t0, 4))
+    dt = min(windows)
 
     rays = width * height * timed_passes * bounces
     rays_per_s = rays / dt
-    print(json.dumps({
+    detail = {
         "metric": "rays_per_s_per_chip_800x600_3bounce",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / target_rays_per_s(), 3),
-    }))
+        "route": route,
+        "platform": jax.devices()[0].platform,
+        "warmup_s": round(warmup_s, 3),
+        "window_passes": timed_passes,
+        "window_times_s": windows,
+        "window_rays_per_s": [round(rays / w, 1) for w in windows],
+        "window_spread": round(max(windows) / min(windows), 3),
+    }
+    print(json.dumps(detail))
     # extra context on stderr (driver reads stdout JSON only)
     print(f"# {timed_passes} passes in {dt:.3f}s "
-          f"({width}x{height}, {bounces} bounces, "
-          f"spp/s={timed_passes / dt:.2f}, platform="
-          f"{jax.devices()[0].platform})", file=sys.stderr)
+          f"({width}x{height}, {bounces} bounces, route={route}, "
+          f"spp/s={timed_passes / dt:.2f}, windows={windows}, "
+          f"platform={jax.devices()[0].platform})", file=sys.stderr)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "benchmarks",
+                               "last_bench_detail.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -176,18 +176,19 @@ def _safe_rcp(x):
     return sgn / jnp.maximum(jnp.abs(x), tiny)
 
 
-def _trace_fold(groups, tab, sbb, o, d, n_prev, p_prev, scr, cull):
+def _trace_fold(groups, tab, sbb, ordr, o, d, n_prev, p_prev, scr, cull):
     """Fold every analytic prim into per-ray winner ATTRIBUTES.
 
     groups: static ((shape_code, start, count), ...); tab: SMEM [38, P]
     (rows 0-11 inv affine, 12-23 trf affine, 24 shin, 25 rough, 26 emis,
     27-30 rgba, 31 ok flag — 0 marks group-padding columns, which must
-    never hit — 32-37 world AABB min/max). Same winners/order as
-    ops.trace._small_group_soa (strictly-closer, group order then
-    ascending index). Returns (is_hit, N, P, shin, rough, emis, col3,
-    alpha); on miss N, P keep (n_prev, p_prev) — the GLSL stale-output
-    semantics that the refraction inner re-trace relies on
-    (tp/montecarlo.frag:150-152).
+    never hit — 32-37 world AABB min/max). Same winners as
+    ops.trace._small_group_soa (strictly-closer) up to exact distance
+    ties, where the nearest-first super order below may pick a
+    different—equally closest—winner. Returns (is_hit, N, P, shin,
+    rough, emis, col3, alpha); on miss N, P keep (n_prev, p_prev) — the
+    GLSL stale-output semantics that the refraction inner re-trace
+    relies on (tp/montecarlo.frag:150-152).
 
     scr: 14 VMEM scratch refs holding the running winner (shared by the
     outer and inner folds of a bounce; reset here). cull (static): skip a
@@ -196,6 +197,16 @@ def _trace_fold(groups, tab, sbb, o, d, n_prev, p_prev, scr, cull):
     frontier cull, the megakernel's answer to the reference's BVH walk
     (intersect_bv, raytracer_func.frag:314-352). Conservative: identical
     winners, directions must be unit (slab t == world distance).
+
+    ordr: SMEM (1, n_supers) per-TILE super visit order (group-relative
+    indices within each group's slice) — supers sorted nearest-first by
+    the tile's primary-ray bundle entry distance (host side,
+    _mega_super_order). Visiting near supers first makes the running
+    best tighten immediately, so the `tmin <= best` prune rejects the
+    occluded far supers — the front-to-back effect of the reference's
+    BVH walk without per-ray divergence. The order is a pure heuristic
+    (stale for later bounces, where origins have moved): every super is
+    still slab-tested per bounce, so winners don't depend on it.
     """
     (bd_s, nx_s, ny_s, nz_s, px_s, py_s, pz_s,
      sh_s, ro_s, em_s, cr_s, cg_s, cb_s, ca_s) = scr
@@ -351,8 +362,9 @@ def _trace_fold(groups, tab, sbb, o, d, n_prev, p_prev, scr, cull):
         # prims (intersect_bvh's internal-node skip, the TPU way)
         nsup = -(-count // MEGA_SUPER)
 
-        def super_body(sp, _, start=start, count=count, sstart=sstart,
+        def super_body(spi, _, start=start, count=count, sstart=sstart,
                       body=body):
+            sp = ordr[0, 0, sstart + spi]  # nearest-first visit order
             sc = sstart + sp
             t0x = (sbb[0, sc] - o[0]) * rdx
             t1x = (sbb[3, sc] - o[0]) * rdx
@@ -395,7 +407,7 @@ def _trace_fold(groups, tab, sbb, o, d, n_prev, p_prev, scr, cull):
 
 def _mega_kernel(groups, nb_bounces, has_transparent, cull,
                  dx_ref, dy_ref, dz_ref, u_ref, v_ref,
-                 fpar_ref, upar_ref, tab_ref, sbb_ref,
+                 fpar_ref, upar_ref, tab_ref, sbb_ref, ord_ref,
                  r_ref, g_ref, b_ref, *scr):
     d = (dx_ref[...], dy_ref[...], dz_ref[...])
     z = jnp.zeros_like(d[0])
@@ -420,7 +432,7 @@ def _mega_kernel(groups, nb_bounces, has_transparent, cull,
     def bounce(o, d, attenu, total, result, done_i, state):
         done = done_i != 0
         is_hit, N, P, shin, rough, emis, col3, alpha = _trace_fold(
-            groups, tab_ref, sbb_ref, o, d, unit_z,
+            groups, tab_ref, sbb_ref, ord_ref, o, d, unit_z,
             (o[0] + d[0], o[1] + d[1], o[2] + d[2]), scr, cull)
 
         active = ~done
@@ -495,7 +507,8 @@ def _mega_kernel(groups, nb_bounces, has_transparent, cull,
                             P[2] - BIAS * N[2]),
                            (o[0], o[1], z + np.float32(2.0e8)))
             _, N2r, P2r, *_unused = _trace_fold(
-                groups, tab_ref, sbb_ref, o_in, d_in, N, P, scr, cull)
+                groups, tab_ref, sbb_ref, ord_ref, o_in, d_in, N, P,
+                scr, cull)
             N2 = _vwhere(refr_lane, N2r, unit_z)
             P2 = _vwhere(refr_lane, P2r, P)
             d_exit = _refract_glsl(d_in, (-N2[0], -N2[1], -N2[2]), 1.0 / ior)
@@ -596,6 +609,30 @@ def _mega_super_boxes(scene):
     return jnp.concatenate(cols, axis=0).T                 # [6, S_total]
 
 
+def _mega_super_order(d_rows, o3, sbb, groups):
+    """[ntiles, n_supers] i32: per ray-tile visit order of each group's
+    supers, nearest-first by the tile's conservative bundle entry
+    distance into the super box (ops/worklist.bundle_box_entry with a
+    degenerate origin interval — primary rays share the pinhole origin).
+    Order is group-relative within each group's slice of the table so
+    the kernel's per-group fori_loop stays statically bound to its
+    shape code. Unreachable supers sort last (their in-kernel slab
+    tests fail anyway). Heuristic only — see _trace_fold."""
+    from ..ops.worklist import bundle_box_entry
+
+    m = d_rows.shape[1] * d_rows.shape[2]
+    nt = m // (TILE_ROWS * LANES)
+    dt = d_rows.reshape(3, nt, TILE_ROWS * LANES)
+    olo = jnp.broadcast_to(o3[:, None], (3, nt))
+    bundles = (olo, olo, dt.min(axis=2), dt.max(axis=2))
+    entry = bundle_box_entry(bundles, sbb)          # [nt, n_supers]
+    cols = []
+    for _, _, count, sstart in groups:
+        nsup = -(-count // MEGA_SUPER)
+        cols.append(jnp.argsort(entry[:, sstart:sstart + nsup], axis=1))
+    return jnp.concatenate(cols, axis=1).astype(jnp.int32)[:, None, :]
+
+
 def _mega_table(scene):
     """[38, P] f32 prim-scalar table (device-side; cheap, built under jit).
     Rows 0-11 inverse affine, 12-23 forward affine, 24 shin, 25 rough,
@@ -623,14 +660,19 @@ def _mega_table(scene):
 @functools.partial(
     jax.jit, static_argnames=("groups", "nb_bounces", "has_transparent",
                               "cull", "interpret"))
-def _mega_call(d_rows, u, v, fpar, upar, tab, sbb, groups, nb_bounces,
-               has_transparent, cull=False, interpret=False):
+def _mega_call(d_rows, u, v, fpar, upar, tab, sbb, ordr, groups,
+               nb_bounces, has_transparent, cull=False, interpret=False):
     m = d_rows.shape[1]
     grid = (m // TILE_ROWS,)
     blk = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                       memory_space=pltpu.SMEM)
+    # per-TILE super visit order: one (1, 1, n_supers) SMEM row per grid
+    # step (the leading tile axis is the blocked one; the trailing two
+    # match the array dims, which the Mosaic block-shape rule requires)
+    ord_spec = pl.BlockSpec((1, 1, ordr.shape[2]), lambda i: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
     kernel = functools.partial(_mega_kernel, groups, nb_bounces,
                                has_transparent, cull)
     r, g, b = pl.pallas_call(
@@ -638,7 +680,7 @@ def _mega_call(d_rows, u, v, fpar, upar, tab, sbb, groups, nb_bounces,
         grid=grid,
         in_specs=[blk, blk, blk, blk, blk,
                   smem((1, 4)), smem((1, 1)), smem(tab.shape),
-                  smem(sbb.shape)],
+                  smem(sbb.shape), ord_spec],
         out_specs=[blk, blk, blk],
         out_shape=[jax.ShapeDtypeStruct((m, LANES), jnp.float32)] * 3,
         # 14 winner-attribute scratch buffers shared by the per-bounce
@@ -647,7 +689,7 @@ def _mega_call(d_rows, u, v, fpar, upar, tab, sbb, groups, nb_bounces,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(d_rows[0], d_rows[1], d_rows[2], u, v, fpar, upar, tab, sbb)
+    )(d_rows[0], d_rows[1], d_rows[2], u, v, fpar, upar, tab, sbb, ordr)
     return r, g, b
 
 
@@ -685,7 +727,8 @@ def raytrace_mega(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
     groups, total = _mega_meta(scene)
     tab = _mega_table(scene)
     sbb = _mega_super_boxes(scene)
-    r, g, b = _mega_call(d_rows, u, v, fpar, upar, tab, sbb, groups,
+    ordr = _mega_super_order(d_rows, o3, sbb, groups)
+    r, g, b = _mega_call(d_rows, u, v, fpar, upar, tab, sbb, ordr, groups,
                          int(nb_bounces), scene.has_transparent,
                          cull=total >= MEGA_CULL_MIN_PRIMS,
                          interpret=interpret)

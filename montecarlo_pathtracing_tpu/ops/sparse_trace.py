@@ -9,24 +9,29 @@ arrays drive the BlockSpec index maps — the same pattern as block-sparse
 attention. Outputs are indexed by tile_id, revisited consecutively
 (worklists are tile-sorted), and initialized on tile change.
 
-Two kernels:
+Two kernels, both occlusion-refined the same way (the TPU equivalent of
+the reference's front-to-back BVH walk with the current-closest prune,
+intersect_bv, raytracer_func.frag:344-350): per ray tile, process the K
+nearest reachable blocks by conservative bundle ENTRY distance, carry
+the per-ray best into the kernel, skip a block once its entry bound
+can't beat any ray's min(best, root-exit), and iterate (lax.while_loop)
+until no unprocessed block could improve anything:
 
 - analytic groups: scalar-prim fold (megakernel style — one prim's
-  affine coefficients from SMEM broadcast over a 1024-ray tile) over
-  SUP=8-prim blocks. Finer culling granularity than the 128-lane chunk
-  kernels (a work block is 8 prims, not 128) — the per-prim answer to
-  intersect_bv pruning (shaders/raytracer_func.frag:314-352).
+  affine coefficients from a per-block SMEM DMA broadcast over a
+  1024-ray tile) over SUP=8-prim blocks. Finer culling granularity than
+  the 128-lane chunk kernels (a work block is 8 prims, not 128) — the
+  per-prim answer to intersect_bv pruning (raytracer_func.frag:314-352).
 - mesh triangles: the Moller-Trumbore [T, C] fold of ops/pallas_trace.py
   over 128-triangle chunks, but with 256-ray tiles (4x finer votes) and
   zero in-kernel traversal logic (Mesh_intersect / intersect_bvm analog,
   raytracer_func.frag:642-678).
 
-Winner parity: worklists are conservative supersets of the per-ray
-chunk hits (ops/worklist.py), blocks are visited in ascending order
-within a tile, and the fold is strictly-closer — identical winners to
-the brute kernels (asserted in tests/test_sparse_trace.py). On worklist
-overflow (budget exceeded — an unsorted incoherent wavefront) the
-wrappers fall back to the brute kernels via lax.cond.
+Winner parity: the refinement loop only ever skips a block whose entry
+bound provably can't beat a strictly-closer winner, so winners match the
+brute folds (asserted in tests/test_sparse_trace.py) up to the
+nearest-first tie-order caveat documented on each wrapper. There is no
+overflow fallback — the while_loop covers any vote count by iterating.
 """
 from __future__ import annotations
 
@@ -40,56 +45,67 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import EPSILON, FLT_MAX
 from .pallas_trace import _SOA_FNS, PRIM_CHUNK, _round_up
-from .worklist import (tile_bundles, bundle_box_votes, bundle_box_entry,
-                       build_worklist)
+from .worklist import tile_bundles, bundle_box_entry
 
 SUP = 8             # prims per analytic work block
 AN_TILE = 1024      # rays per analytic tile (8 sublanes x 128 lanes)
 AN_ROWS = AN_TILE // 128
 MESH_TILE = 256     # rays per mesh tile (sublane-major [T, C] layout)
 
-# worklist budgets (work items per tile, incl. the sentinel); overflow
-# falls back to the brute kernel
-AN_BUDGET = 32
-MESH_BUDGET = 24    # (historical; the mesh route now sizes work by
-                    # K_OCCL iterations instead of a static budget)
-
 
 # ---------------------------------------------------------------------------
-# analytic groups: scalar-prim fold over SUP-prim worklist blocks
+# analytic groups: scalar-prim fold over SUP-prim worklist blocks,
+# occlusion-refined exactly like the mesh route below: per tile, process
+# the K nearest reachable blocks by bundle ENTRY distance, carry the
+# per-ray best in/out, skip a block in-kernel once its entry bound can't
+# beat any ray's min(best, root-exit), iterate until no unprocessed block
+# could improve anything. The reference gets the same effect from its
+# per-ray current-closest BVH prune (intersect_bv,
+# shaders/raytracer_func.frag:344-350).
 # ---------------------------------------------------------------------------
 
-def _an_kernel(shape_code, tid_ref, bid_ref,
+AN_K = 32           # blocks per tile per iteration (top-k nearest)
+
+
+def _an_kernel(shape_code, k_per_tile, tid_ref, bid_ref, tlo_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tab_ref,
+               din_ref, rin_ref, ain_ref, iin_ref, bnd_ref,
                dist_ref, row_ref, a_ref, dir_ref):
     """One (1024-ray tile, 8-prim block) work item.
 
-    tab_ref: SMEM [25, ppad] — rows 0-11 inverse affine, 12-23 forward
-    affine, 24 ok flag (0 = group padding, never hits). Outputs match
-    group_best_rows: (dist, group row, local a, dircode) per ray."""
+    tab_ref: SMEM (1, 25, SUP) block DMA'd per work item — rows 0-11
+    inverse affine, 12-23 forward affine, 24 ok flag (0 = group padding,
+    never hits). The worklist is exactly [ntiles, k_per_tile] flattened,
+    so a tile's first step is w % k == 0; it seeds the fold from the
+    carried-in best (din/rin/ain/iin). The prim fold is a fori_loop (a
+    python unroll of the SUP bodies multiplied Mosaic compile time ~8x —
+    122 s measured round 3); in-block SMEM loads use the dynamic loop
+    index, which is a plain scalar load. Outputs match group_best_rows:
+    (dist, group row, local a, dircode) per ray."""
     fn = _SOA_FNS[shape_code]
     w = pl.program_id(0)
-    tid = tid_ref[w]
     bid = bid_ref[w]
-    first = jnp.logical_or(w == 0, tid_ref[jnp.maximum(w - 1, 0)] != tid)
+    first = w % k_per_tile == 0
 
     @pl.when(first)
     def _():
-        dist_ref[...] = jnp.full_like(dist_ref[...], FLT_MAX)
-        row_ref[...] = jnp.full_like(row_ref[...], -1)
-        a_ref[...] = jnp.zeros_like(a_ref[...])
-        dir_ref[...] = jnp.full_like(dir_ref[...], -1)
+        dist_ref[...] = din_ref[...]
+        row_ref[...] = rin_ref[...]
+        a_ref[...] = ain_ref[...]
+        dir_ref[...] = iin_ref[...]
 
-    @pl.when(bid >= 0)
+    # occlusion prune: a block can only matter if its conservative entry
+    # bound beats some ray's min(current best, root-box exit) — blocks
+    # arrive nearest-first, so once this fails the rest of the tile's
+    # blocks fail too and cost only this scalar compare each
+    prune = jnp.max(jnp.minimum(dist_ref[...], bnd_ref[...]))
+
+    @pl.when((bid >= 0) & (tlo_ref[w] < prune))
     def _():
         o = (ox_ref[...], oy_ref[...], oz_ref[...])     # [AN_ROWS, 128]
         d = (dx_ref[...], dy_ref[...], dz_ref[...])
-        for j in range(SUP):
-            c = bid * SUP + j
-            # tab_ref is a (1, 25, SUP) SMEM block DMA'd per work item,
-            # so every scalar load uses a STATIC in-block index (a full-
-            # table SMEM ref with dynamic column arithmetic multiplied
-            # Mosaic compile time ~30x)
+
+        def prim_body(j, _):
             iv = [tab_ref[0, r, j] for r in range(12)]
             tf = [tab_ref[0, r + 12, j] for r in range(12)]
             ok = tab_ref[0, 24, j] > 0.0
@@ -120,44 +136,33 @@ def _an_kernel(shape_code, tid_ref, bid_ref,
             # compare false and never land)
             take = ok & (dist < dist_ref[...])
             dist_ref[...] = jnp.where(take, dist, dist_ref[...])
-            row_ref[...] = jnp.where(take, c, row_ref[...])
+            row_ref[...] = jnp.where(take, bid * SUP + j, row_ref[...])
             a_ref[...] = jnp.where(take, a, a_ref[...])
             dir_ref[...] = jnp.where(take, dircode, dir_ref[...])
+            return 0
+
+        jax.lax.fori_loop(0, SUP, prim_body, 0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("shape_code", "budget", "interpret"))
-def _an_sparse_call(o_rows, d_rows, shape_code, tab, sup_bb,
-                    budget=AN_BUDGET, interpret=False):
-    m = o_rows.shape[1]
-    nt = m // AN_TILE
-    bundles = tile_bundles(o_rows, d_rows, AN_TILE)
-    votes = bundle_box_votes(bundles, sup_bb)
-    tid, bid, n, overflow = build_worklist(votes, min(budget,
-                                                      votes.shape[1] + 1))
-    # dynamic grid: exactly the real worklist length — the static budget
-    # only sizes the SMEM id arrays (interpret mode needs a static grid)
-    grid_n = tid.shape[0] if interpret else n
-
-    o_blk = o_rows.reshape(3, m // 128, 128)
-    d_blk = d_rows.reshape(3, m // 128, 128)
-    # [25, ppad] -> [nblocks, 25, SUP] so each work item DMAs one block
-    tab = jnp.transpose(
-        tab.reshape(25, tab.shape[1] // SUP, SUP), (1, 0, 2))
-
+def _an_fold_call(o_blk, d_blk, tab, tid, bid, tlo,
+                  dist, row, a, dircode, bound, shape_code, k_per_tile,
+                  interpret):
+    """One Pallas fold over a [ntiles, k_per_tile] worklist, carrying the
+    prior per-ray best in/out. bound: [m//128, 128] root-exit cap."""
+    m = o_blk.shape[1] * 128
     ray_spec = pl.BlockSpec((AN_ROWS, 128),
-                            lambda w, t, b: (t[w], 0),
+                            lambda w, t, b, q: (t[w], 0),
                             memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec((1, 25, SUP),
-                            lambda w, t, b: (jnp.maximum(b[w], 0), 0, 0),
+                            lambda w, t, b, q: (jnp.maximum(b[w], 0), 0, 0),
                             memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((AN_ROWS, 128), lambda w, t, b: (t[w], 0),
-                            memory_space=pltpu.VMEM)
+    io_spec = pl.BlockSpec((AN_ROWS, 128), lambda w, t, b, q: (t[w], 0),
+                           memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(grid_n,),
-        in_specs=[ray_spec] * 6 + [tab_spec],
-        out_specs=[out_spec] * 4,
+        num_scalar_prefetch=3,
+        grid=(tid.shape[0],),
+        in_specs=[ray_spec] * 6 + [tab_spec] + [io_spec] * 5,
+        out_specs=[io_spec] * 4,
     )
     out_shape = [
         jax.ShapeDtypeStruct((m // 128, 128), jnp.float32),
@@ -165,39 +170,105 @@ def _an_sparse_call(o_rows, d_rows, shape_code, tab, sup_bb,
         jax.ShapeDtypeStruct((m // 128, 128), jnp.float32),
         jax.ShapeDtypeStruct((m // 128, 128), jnp.int32),
     ]
-    dist, row, a, dircode = pl.pallas_call(
-        functools.partial(_an_kernel, shape_code),
+    return pl.pallas_call(
+        functools.partial(_an_kernel, shape_code, k_per_tile),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(tid, bid,
-      o_blk[0], o_blk[1], o_blk[2], d_blk[0], d_blk[1], d_blk[2], tab)
-    return (dist.reshape(m), row.reshape(m), a.reshape(m),
-            dircode.reshape(m), overflow)
+    )(tid, bid, tlo,
+      o_blk[0], o_blk[1], o_blk[2], d_blk[0], d_blk[1], d_blk[2], tab,
+      dist, row, a, dircode, bound)
 
 
+@functools.partial(jax.jit, static_argnames=("shape_code", "interpret"))
 def group_best_rows_sparse(o, d, shape_code, inv_r, trf_r, pid, sup_bb,
                            interpret=False):
-    """Worklist twin of pallas_trace.group_best_rows. o, d: [3, M] ray
-    rows (M a multiple of AN_TILE, UNIT directions), padded group tables
-    from _pad_group, sup_bb [6, ppad/SUP] world AABBs over SUP-prim
-    Morton windows. Falls back to the brute kernel on worklist
-    overflow. Returns (dist, group row, a, dircode), each [M]."""
-    from .pallas_trace import group_best_rows
+    """Occlusion-refined worklist twin of pallas_trace.group_best_rows.
 
+    o, d: [3, M] ray rows (M a multiple of AN_TILE, UNIT directions —
+    the slab parameter IS world distance, which the entry-bound prune
+    compares against the fold's world `dist`), padded group tables from
+    _pad_group, sup_bb [6, ppad/SUP] world AABBs over SUP-prim Morton
+    windows. Returns (dist, group row, a, dircode), each [M]. No brute
+    fallback is needed: the while_loop refines until no unprocessed
+    block's entry bound could improve any ray, whatever the vote count.
+
+    Same nearest-first tie-order caveat as mesh_best_rows_sparse: an
+    EXACT float distance tie between prims in different blocks may pick
+    a different winner row than the ascending-order brute fold."""
+    m = o.shape[1]
+    nt = m // AN_TILE
+    nsup = sup_bb.shape[1]
+    bundles = tile_bundles(o, d, AN_TILE)
+    from .worklist import INF
+    from .pallas_trace import _safe_rcp
+    tlo_all = bundle_box_entry(bundles, sup_bb)     # [nt, S]; INF = miss
+    tlo_all = jnp.where(tlo_all >= INF, INF,
+                        tlo_all * np.float32(1.0 - 1e-4) - np.float32(1e-4))
+
+    # per-ray root-box exit cap over the union of real block boxes (same
+    # construction as the mesh route below): rays that miss the whole
+    # group stop blocking the prune
+    real = jnp.all(sup_bb[0:3] <= sup_bb[3:6], axis=0)
+    root_lo = jnp.min(jnp.where(real[None, :], sup_bb[0:3], INF), axis=1)
+    root_hi = jnp.max(jnp.where(real[None, :], sup_bb[3:6], -INF), axis=1)
+    rd = _safe_rcp(d)
+    t0b = (root_lo[:, None] - o) * rd
+    t1b = (root_hi[:, None] - o) * rd
+    tent = jnp.maximum(jnp.max(jnp.minimum(t0b, t1b), axis=0), 0.0)
+    texi = jnp.min(jnp.maximum(t0b, t1b), axis=0)
+    bound = jnp.where(texi >= tent,
+                      texi * np.float32(1.0001) + np.float32(1e-4),
+                      np.float32(0.0))                   # [M]
+    bound_blk = bound.reshape(m // 128, 128)
+
+    o_blk = o.reshape(3, m // 128, 128)
+    d_blk = d.reshape(3, m // 128, 128)
     tab = jnp.concatenate(
         [inv_r, trf_r, (pid >= 0).astype(jnp.float32)], axis=0)
-    dist, row, a, dircode, overflow = _an_sparse_call(
-        o, d, shape_code, tab, sup_bb, interpret=interpret)
+    # [25, ppad] -> [nblocks, 25, SUP] so each work item DMAs one block
+    tab = jnp.transpose(
+        tab.reshape(25, tab.shape[1] // SUP, SUP), (1, 0, 2))
 
-    def brute(_):
-        return group_best_rows(o, d, shape_code, inv_r, trf_r, pid,
-                               cbb=None, interpret=interpret)
+    k = min(AN_K, nsup)
+    rows_i = jnp.arange(nt, dtype=jnp.int32)[:, None]
+    tid_w = jnp.broadcast_to(rows_i, (nt, k)).reshape(-1)
 
-    return jax.lax.cond(
-        overflow, brute, lambda _: (dist, row, a, dircode), 0)
+    def amax_tiles(dist):
+        return jnp.minimum(dist, bound).reshape(nt, AN_TILE).max(axis=1)
+
+    def candidates(dist, processed):
+        return (~processed) & (tlo_all < amax_tiles(dist)[:, None])
+
+    def cond(carry):
+        dist, row, a, dircode, processed = carry
+        return jnp.any(candidates(dist.reshape(-1), processed))
+
+    def body(carry):
+        dist, row, a, dircode, processed = carry
+        key = jnp.where(candidates(dist.reshape(-1), processed),
+                        tlo_all, INF)
+        negv, idx = jax.lax.top_k(-key, k)              # nearest-first
+        valid = negv > -INF
+        bid_w = jnp.where(valid, idx, -1).astype(jnp.int32).reshape(-1)
+        tlo_w = jnp.where(valid, -negv, INF).reshape(-1)
+        dist, row, a, dircode = _an_fold_call(
+            o_blk, d_blk, tab, tid_w, bid_w, tlo_w,
+            dist, row, a, dircode, bound_blk, shape_code, k, interpret)
+        processed = processed.at[rows_i, idx].max(valid)
+        return dist, row, a, dircode, processed
+
+    shp = (m // 128, 128)
+    init = (jnp.full(shp, FLT_MAX, jnp.float32),
+            jnp.full(shp, -1, jnp.int32),
+            jnp.zeros(shp, jnp.float32),
+            jnp.full(shp, -1, jnp.int32),
+            tlo_all >= INF)
+    dist, row, a, dircode, _ = jax.lax.while_loop(cond, body, init)
+    return (dist.reshape(m), row.reshape(m), a.reshape(m),
+            dircode.reshape(m))
 
 
 # ---------------------------------------------------------------------------

@@ -162,10 +162,12 @@ def trace_soa(scene, o, d, *, interpret: bool = False,
         inv_r, trf_r, pid = _pad_group(
             scene.group_transfo[gi], scene.group_inv[gi],
             scene.group_prim[gi])
-        # worklist route: fine-grained (8-prim) frustum culling, SMEM
-        # prim table; large groups above the SMEM cap keep the chunked
-        # kernel with its coarse in-kernel votes
-        sparse = (cull and m % AN_TILE == 0 and inv_r.shape[1] <= 2048)
+        # worklist route: fine-grained (8-prim) frustum culling with
+        # nearest-first occlusion refinement; the prim table is DMA'd
+        # per 8-prim block so there is no SMEM cap — the gate only
+        # bounds the XLA-side [ntiles, nblocks] entry matrix
+        sparse = (cull and m % AN_TILE == 0
+                  and inv_r.shape[1] <= (1 << 17))
         if sparse:
             dist, row, a, dircode = group_best_rows_sparse(
                 o_rows, d_rows, code, inv_r, trf_r, pid,

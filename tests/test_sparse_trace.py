@@ -26,21 +26,32 @@ def _rand_rays(m, lo=-30.0, hi=30.0, seed=0):
 
 @pytest.mark.parametrize("scene_name", ["colonnes", "mesh_demo"])
 def test_sparse_matches_brute_winners(scene_name):
-    """The worklist is a conservative superset of the per-ray chunk hits,
-    so winners must be IDENTICAL to the brute fold — every field."""
+    """The occlusion refinement only ever skips work that provably can't
+    beat a strictly-closer winner, so DISTANCES must be bit-identical to
+    the brute fold. Winner IDENTITY may differ only on exact float
+    distance ties between prims in different blocks (the nearest-first
+    visit order picks a different—equally closest—winner; documented on
+    mesh_best_rows_sparse / group_best_rows_sparse); colonnes' symmetric
+    colonnade produces a handful of such ties."""
     dev = compile_scene(scenes.build(scene_name))
     o, d = _rand_rays(2048)
     h_sparse = trace_soa(dev, o, d, interpret=True)
     h_brute = trace_soa(dev, o, d, interpret=True, cull_chunks=False)
-    for f in ("dist", "prim", "shape", "dircode", "tri"):
-        np.testing.assert_array_equal(
-            np.asarray(getattr(h_sparse, f)),
-            np.asarray(getattr(h_brute, f)), err_msg=f)
+    np.testing.assert_array_equal(
+        np.asarray(h_sparse.dist), np.asarray(h_brute.dist),
+        err_msg="dist")
+    tie = (np.asarray(h_sparse.prim) != np.asarray(h_brute.prim))
+    assert tie.mean() < 0.01, f"{tie.sum()} winner diffs is too many for ties"
+    for f in ("prim", "shape", "dircode", "tri"):
+        a_, b_ = np.asarray(getattr(h_sparse, f)), np.asarray(
+            getattr(h_brute, f))
+        np.testing.assert_array_equal(a_[~tie], b_[~tie], err_msg=f)
     for f in ("pl", "pg"):
         for c in range(3):
             np.testing.assert_array_equal(
-                np.asarray(getattr(h_sparse, f)[c]),
-                np.asarray(getattr(h_brute, f)[c]), err_msg=f"{f}[{c}]")
+                np.asarray(getattr(h_sparse, f)[c])[~tie],
+                np.asarray(getattr(h_brute, f)[c])[~tie],
+                err_msg=f"{f}[{c}]")
 
 
 def test_bundle_votes_conservative():
