@@ -130,8 +130,42 @@ def intersection_info(scene, hit: Hit, prev_n=None, prev_p=None):
 # of the function above; used by the SoA integrator. Same formulas.
 # ---------------------------------------------------------------------------
 
+def _affine2d(rows, v):
+    """Affine transform of points by per-ray GATHERED rows, entirely in
+    2-D tiled space. rows: [12, M] (affine_rows gathered per ray), v:
+    [3, M]. Returns [3, M].
+
+    Why not ops.vec.apply_affine: slicing the twelve [M] rows out of the
+    T(8,128)-tiled gather output forces a T(1024) relayout per row —
+    measured ~0.08 ms per row at 131K rays, and the shading path had ~40
+    such rows per bounce (profiled at >50% of the whole mesh-scene pass,
+    round 4). Keeping every operand >= 2-D lets XLA fuse with zero
+    layout conversion; the single [3, M] result is unstacked once."""
+    r = rows.reshape(3, 4, rows.shape[1])
+    return jnp.sum(r[:, :3, :] * v[None], axis=1) + r[:, 3, :]
+
+
+def _norm2d(v, eps=1e-30):
+    """Normalize [3, M] columns (2-D twin of vec.normalize)."""
+    n = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+    return v / jnp.maximum(n, jnp.float32(eps))
+
+
+def _cross2d(a, b):
+    """Cross product of [3, M] columns via a row roll (2-D, no slices
+    back to 1-D)."""
+    a1 = jnp.roll(a, -1, axis=0)
+    a2 = jnp.roll(a, -2, axis=0)
+    b1 = jnp.roll(b, -1, axis=0)
+    b2 = jnp.roll(b, -2, axis=0)
+    return a1 * b2 - a2 * b1
+
+
 def intersection_info_soa(scene, hit, prev=None):
-    """hit: ops.trace.HitS. Returns (n vec3, p vec3); keeps prev on miss."""
+    """hit: ops.trace.HitS. Returns (n vec3, p vec3); keeps prev on miss.
+
+    All row-matrix math (gathered transforms, triangle corners/normals)
+    runs in 2-D tiled [k, M] space — see _affine2d for why."""
     from . import vec
 
     prim = jnp.clip(hit.prim, 0, scene.nb_prims - 1)
@@ -139,38 +173,33 @@ def intersection_info_soa(scene, hit, prev=None):
     pl, pg = hit.pl, hit.pg
     shape = hit.shape
     dircode = hit.dircode
-    z = jnp.zeros_like(pl[0])
-    one = jnp.ones_like(pl[0])
+    m = pl[0].shape[0]
+    pl2 = jnp.stack(pl)                  # [3, M] (one 1D->2D conversion)
+    pg2 = jnp.stack(pg)
+    rowi = jnp.arange(3, dtype=jnp.int32)[:, None]          # [3, 1]
+    e_z = (rowi == 2).astype(jnp.float32)                   # [3, 1]
+    mask_xy = (rowi < 2).astype(jnp.float32)
 
-    # cube: axis = dir//2, sign from dir%2
-    ax = dircode // 2
-    sg = jnp.where(dircode % 2 != 0, 1.0, -1.0)
-    no_cube = (jnp.where(ax == 0, sg, 0.0), jnp.where(ax == 1, sg, 0.0),
-               jnp.where(ax == 2, sg, 0.0))
-    # cylinder: caps +-z, side (pl.xy, 0)
-    cap = dircode < 2
-    no_cyl = (jnp.where(cap, z, pl[0]), jnp.where(cap, z, pl[1]),
-              jnp.where(cap, jnp.where(dircode % 2 != 0, 1.0, -1.0), z))
+    # cube: axis = dir//2, sign from dir%2 -> sg on row ax, 0 elsewhere
+    sg = jnp.where(dircode % 2 != 0, 1.0, -1.0)[None, :]    # [1, M]
+    no_cube = jnp.where((dircode // 2)[None, :] == rowi, sg, 0.0)
+    # cylinder: caps (0, 0, +-1); side (pl.xy, 0)
+    cap = (dircode < 2)[None, :]
+    no_cyl = jnp.where(cap, e_z * sg, pl2 * mask_xy)
     # cone: bottom cap (0,0,-1); side (pl.xy, |pl.xy|/2)
-    rxy = jnp.sqrt(pl[0] * pl[0] + pl[1] * pl[1])
-    bot = dircode == 0
-    no_cone = (jnp.where(bot, z, pl[0]), jnp.where(bot, z, pl[1]),
-               jnp.where(bot, -one, rxy / 2.0))
-    no_quad = (z, z, one)
+    rxy = jnp.sqrt(jnp.sum((pl2 * mask_xy) ** 2, axis=0, keepdims=True))
+    bot = (dircode == 0)[None, :]
+    no_cone = jnp.where(bot, -e_z, pl2 * mask_xy + e_z * (rxy / 2.0))
+    no_quad = e_z
 
-    # select local offset, sphere uses the point 2*pl directly
-    def sel(code, v, default):
-        return vec.where(shape == code, v, default)
-
-    no = sel(CODE_CUBE, no_cube,
-             sel(CODE_CYLINDER, no_cyl,
-                 sel(CODE_CONE, no_cone, no_quad)))
-    point = vec.where(shape == CODE_SPHERE, vec.scale(pl, 2.0),
-                      vec.add(pl, no))
-    n = vec.normalize(vec.sub(vec.apply_affine(trf_rows, point), pg),
-                      eps=1e-30)
+    sh = shape[None, :]
+    no = jnp.where(sh == CODE_CUBE, no_cube,
+                   jnp.where(sh == CODE_CYLINDER, no_cyl,
+                             jnp.where(sh == CODE_CONE, no_cone, no_quad)))
+    point = jnp.where(sh == CODE_SPHERE, 2.0 * pl2, pl2 + no)
+    n2 = _norm2d(_affine2d(trf_rows, point) - pg2)
     cone_zero = (shape == CODE_CONE) & (dircode == 1)
-    n = vec.where(cone_zero, (z, z, z), n)
+    n2 = jnp.where(cone_zero[None, :], 0.0, n2)
 
     if scene.tri_va.shape[0] > 0:
         tri = jnp.clip(hit.tri, 0, scene.tri_va.shape[0] - 1)
@@ -178,28 +207,26 @@ def intersection_info_soa(scene, hit, prev=None):
         # separate 1-D takes cost ~milliseconds EACH on TPU (random
         # 4-byte accesses), the row form ~0.03 ms (see device.py)
         pr = jnp.take(scene.tri_pos_rows, tri, axis=1)   # [9, M]
-        A, B, C = (pr[0], pr[1], pr[2]), (pr[3], pr[4], pr[5]), \
-                  (pr[6], pr[7], pr[8])
+        A, B, C = pr[0:3], pr[3:6], pr[6:9]              # [3, M] each
         mrows = jnp.take(vec.affine_rows(scene.mesh_transfo), prim, axis=1)
         if scene.flat_face:
-            no_mesh = vec.cross(vec.sub(B, A), vec.sub(C, A))
+            no_mesh = _cross2d(B - A, C - A)
         else:
-            PA, PB, PC = vec.sub(A, pl), vec.sub(B, pl), vec.sub(C, pl)
-            tA = vec.length(vec.cross(PB, PC))
-            tB = vec.length(vec.cross(PA, PC))
-            tC = vec.length(vec.cross(PA, PB))
+            PA, PB, PC = A - pl2, B - pl2, C - pl2
+            def _len(v):
+                return jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+            tA = _len(_cross2d(PB, PC))
+            tB = _len(_cross2d(PA, PC))
+            tC = _len(_cross2d(PA, PB))
             nr = jnp.take(scene.tri_norm_rows, tri, axis=1)
-            nA, nB, nC = (nr[0], nr[1], nr[2]), (nr[3], nr[4], nr[5]), \
-                         (nr[6], nr[7], nr[8])
-            no_mesh = vec.add(vec.add(vec.scale(nA, tA), vec.scale(nB, tB)),
-                              vec.scale(nC, tC))
-        n_mesh = vec.normalize(
-            vec.sub(vec.apply_affine(mrows, vec.add(pl, no_mesh)), pg),
-            eps=1e-30)
-        n = vec.where(shape == CODE_MESH, n_mesh, n)
+            no_mesh = nr[0:3] * tA + nr[3:6] * tB + nr[6:9] * tC
+        n_mesh2 = _norm2d(_affine2d(mrows, pl2 + no_mesh) - pg2)
+        n2 = jnp.where((shape == CODE_MESH)[None, :], n_mesh2, n2)
 
+    n = (n2[0], n2[1], n2[2])            # one 2D->1D conversion
     is_hit = shape >= 0
     if prev is None:
+        z = jnp.zeros((m,), jnp.float32)
         zz = (z, z, z)
         prev = (zz, zz)
     return vec.where(is_hit, n, prev[0]), vec.where(is_hit, pg, prev[1])

@@ -64,10 +64,66 @@ MESH_TILE = 256     # rays per mesh tile (sublane-major [T, C] layout)
 # shaders/raytracer_func.frag:344-350).
 # ---------------------------------------------------------------------------
 
-AN_K = 32           # blocks per tile per iteration (top-k nearest)
+AN_K = 32           # average worklist budget per tile (see _budget_worklist)
 
 
-def _an_kernel(shape_code, k_per_tile, tid_ref, bid_ref, tlo_ref,
+def _ranked_schedule(tlo_all):
+    """Pre-sort each tile's blocks nearest-first ONCE (outside the
+    refinement loop). tlo_all: [nt, S] conservative entry distances
+    (INF = unreachable). Returns (order_in_tile [nt, S] i32 block ids by
+    ascending entry, tlo_sorted [nt, S])."""
+    order = jnp.argsort(tlo_all, axis=1)
+    tlo_sorted = jnp.take_along_axis(tlo_all, order, axis=1)
+    return order.astype(jnp.int32), tlo_sorted
+
+
+def _budget_worklist(valid_sorted, order_in_tile, tlo_sorted, w, interpret):
+    """Compact the candidate (tile, block) pairs — tile-major, nearest-
+    first within each tile — into one worklist under a GLOBAL budget of
+    `w` items shared across tiles.
+
+    Why this shape: a fixed [ntiles, k] worklist charges every PAD item
+    its block DMAs (~0.7 us each — measured 95% padding on primary
+    bounces), and per-tile-k refinement needs one loop iteration per k
+    blocks of the WORST tile (measured 12 iterations on mesh_hires
+    secondaries, each paying top_k + prefetch-DMA + dispatch overhead,
+    while most tiles finished in one). A single compacted list lets the
+    handful of silhouette tiles take hundreds of items in ONE call;
+    the budget only bounds the scalar-prefetch SMEM footprint, and any
+    overflow is picked up by the caller's next refinement iteration
+    (executed pairs are reported back). Compaction is argsort of flagged
+    indices, not nonzero (the XLA cumsum path costs milliseconds; the
+    hardware sort ~0.03 ms).
+
+    Returns (tid, bid, tlo, grid_n, executed[nt, S] in rank layout).
+    Interpret mode (static grid) runs the full budget with the tail
+    pinned to the last head tile + bid == -1, which either no-ops (tile
+    already seeded) or copies the carry — never clobbers results."""
+    from .worklist import INF
+
+    nt, s = valid_sorted.shape
+    l = nt * s
+    iota = jnp.arange(l, dtype=jnp.int32)
+    vflat = valid_sorted.reshape(-1)
+    perm = jnp.argsort(jnp.where(vflat, iota, iota + l))
+    n = jnp.minimum(jnp.sum(vflat.astype(jnp.int32)), w)
+    sel = perm[:w]                       # static-size slice (w <= l)
+    in_head = jnp.arange(w, dtype=jnp.int32) < n
+    tid_c0 = sel // s
+    bid_c0 = jnp.take(order_in_tile.reshape(-1), sel)
+    tlo_c0 = jnp.take(tlo_sorted.reshape(-1), sel)
+    # tail (interpret-mode only) pins to the last HEAD tile so the
+    # tid-change first-visit test never reseeds a tile that has results
+    head_last = jnp.max(jnp.where(in_head, tid_c0, 0))
+    tid_c = jnp.where(in_head, tid_c0, head_last)
+    bid_c = jnp.where(in_head, bid_c0, -1)
+    tlo_c = jnp.where(in_head, tlo_c0, INF)
+    executed = jnp.zeros((l,), bool).at[sel].max(in_head).reshape(nt, s)
+    grid_n = w if interpret else n
+    return tid_c, bid_c, tlo_c, grid_n, executed
+
+
+def _an_kernel(shape_code, tid_ref, bid_ref, tlo_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tab_ref,
                din_ref, rin_ref, ain_ref, iin_ref, bnd_ref,
                dist_ref, row_ref, a_ref, dir_ref):
@@ -75,17 +131,20 @@ def _an_kernel(shape_code, k_per_tile, tid_ref, bid_ref, tlo_ref,
 
     tab_ref: SMEM (1, 25, SUP) block DMA'd per work item — rows 0-11
     inverse affine, 12-23 forward affine, 24 ok flag (0 = group padding,
-    never hits). The worklist is exactly [ntiles, k_per_tile] flattened,
-    so a tile's first step is w % k == 0; it seeds the fold from the
-    carried-in best (din/rin/ain/iin). The prim fold is a fori_loop (a
-    python unroll of the SUP bodies multiplied Mosaic compile time ~8x —
-    122 s measured round 3); in-block SMEM loads use the dynamic loop
-    index, which is a plain scalar load. Outputs match group_best_rows:
-    (dist, group row, local a, dircode) per ray."""
+    never hits). The worklist is COMPACTED and tile-sorted
+    (_budget_worklist), so a tile's first step is where tid changes; it
+    seeds the fold from the carried-in best (din/rin/ain/iin); tiles
+    with no work are never visited (the caller merges their carry back
+    XLA-side). The prim fold is a fori_loop (a python unroll of the SUP
+    bodies multiplied Mosaic compile time ~8x — 122 s measured round 3);
+    in-block SMEM loads use the dynamic loop index, which is a plain
+    scalar load. Outputs match group_best_rows: (dist, group row, local
+    a, dircode) per ray."""
     fn = _SOA_FNS[shape_code]
     w = pl.program_id(0)
     bid = bid_ref[w]
-    first = w % k_per_tile == 0
+    first = jnp.logical_or(
+        w == 0, tid_ref[jnp.maximum(w - 1, 0)] != tid_ref[w])
 
     @pl.when(first)
     def _():
@@ -145,10 +204,12 @@ def _an_kernel(shape_code, k_per_tile, tid_ref, bid_ref, tlo_ref,
 
 
 def _an_fold_call(o_blk, d_blk, tab, tid, bid, tlo,
-                  dist, row, a, dircode, bound, shape_code, k_per_tile,
+                  dist, row, a, dircode, bound, shape_code, grid_n,
                   interpret):
-    """One Pallas fold over a [ntiles, k_per_tile] worklist, carrying the
-    prior per-ray best in/out. bound: [m//128, 128] root-exit cap."""
+    """One Pallas fold over a compacted tile-sorted worklist, carrying
+    the prior per-ray best in/out. grid_n: dynamic trip count (the real
+    item count; tiles with no items are not visited — the caller merges
+    their carry back). bound: [m//128, 128] root-exit cap."""
     m = o_blk.shape[1] * 128
     ray_spec = pl.BlockSpec((AN_ROWS, 128),
                             lambda w, t, b, q: (t[w], 0),
@@ -160,7 +221,7 @@ def _an_fold_call(o_blk, d_blk, tab, tid, bid, tlo,
                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(tid.shape[0],),
+        grid=(grid_n,),
         in_specs=[ray_spec] * 6 + [tab_spec] + [io_spec] * 5,
         out_specs=[io_spec] * 4,
     )
@@ -171,7 +232,7 @@ def _an_fold_call(o_blk, d_blk, tab, tid, bid, tlo,
         jax.ShapeDtypeStruct((m // 128, 128), jnp.int32),
     ]
     return pl.pallas_call(
-        functools.partial(_an_kernel, shape_code, k_per_tile),
+        functools.partial(_an_kernel, shape_code),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -232,40 +293,45 @@ def group_best_rows_sparse(o, d, shape_code, inv_r, trf_r, pid, sup_bb,
     tab = jnp.transpose(
         tab.reshape(25, tab.shape[1] // SUP, SUP), (1, 0, 2))
 
-    k = min(AN_K, nsup)
-    rows_i = jnp.arange(nt, dtype=jnp.int32)[:, None]
-    tid_w = jnp.broadcast_to(rows_i, (nt, k)).reshape(-1)
+    w = min(AN_K * nt, nt * nsup)
+    order_in_tile, tlo_sorted = _ranked_schedule(tlo_all)
+    shp = (m // 128, 128)
 
     def amax_tiles(dist):
-        return jnp.minimum(dist, bound).reshape(nt, AN_TILE).max(axis=1)
+        return jnp.minimum(dist.reshape(-1), bound).reshape(
+            nt, AN_TILE).max(axis=1)
 
     def candidates(dist, processed):
-        return (~processed) & (tlo_all < amax_tiles(dist)[:, None])
+        return (~processed) & (tlo_sorted < amax_tiles(dist)[:, None])
 
     def cond(carry):
         dist, row, a, dircode, processed = carry
-        return jnp.any(candidates(dist.reshape(-1), processed))
+        return jnp.any(candidates(dist, processed))
 
     def body(carry):
         dist, row, a, dircode, processed = carry
-        key = jnp.where(candidates(dist.reshape(-1), processed),
-                        tlo_all, INF)
-        negv, idx = jax.lax.top_k(-key, k)              # nearest-first
-        valid = negv > -INF
-        bid_w = jnp.where(valid, idx, -1).astype(jnp.int32).reshape(-1)
-        tlo_w = jnp.where(valid, -negv, INF).reshape(-1)
-        dist, row, a, dircode = _an_fold_call(
-            o_blk, d_blk, tab, tid_w, bid_w, tlo_w,
-            dist, row, a, dircode, bound_blk, shape_code, k, interpret)
-        processed = processed.at[rows_i, idx].max(valid)
-        return dist, row, a, dircode, processed
+        tid_c, bid_c, tlo_c, grid_n, executed = _budget_worklist(
+            candidates(dist, processed), order_in_tile, tlo_sorted, w,
+            interpret)
+        d2, r2, a2, i2 = _an_fold_call(
+            o_blk, d_blk, tab, tid_c, bid_c, tlo_c,
+            dist, row, a, dircode, bound_blk, shape_code, grid_n,
+            interpret)
+        # unvisited tiles' output blocks are untouched garbage — merge
+        # the carry back for them (the kernel only visits real items)
+        vis = jnp.broadcast_to(
+            executed.any(axis=1)[:, None], (nt, AN_TILE)).reshape(shp)
+        dist = jnp.where(vis, d2, dist)
+        row = jnp.where(vis, r2, row)
+        a = jnp.where(vis, a2, a)
+        dircode = jnp.where(vis, i2, dircode)
+        return dist, row, a, dircode, processed | executed
 
-    shp = (m // 128, 128)
     init = (jnp.full(shp, FLT_MAX, jnp.float32),
             jnp.full(shp, -1, jnp.int32),
             jnp.zeros(shp, jnp.float32),
             jnp.full(shp, -1, jnp.int32),
-            tlo_all >= INF)
+            tlo_sorted >= INF)
     dist, row, a, dircode, _ = jax.lax.while_loop(cond, body, init)
     return (dist.reshape(m), row.reshape(m), a.reshape(m),
             dircode.reshape(m))
@@ -287,25 +353,28 @@ def group_best_rows_sparse(o, d, shape_code, inv_r, trf_r, pid, sup_bb,
 # rays all miss processes exactly its reachable chunks and no more.
 # ---------------------------------------------------------------------------
 
-K_OCCL = 64         # chunks per tile per iteration (top-k nearest); the
-                    # in-kernel entry-bound skip makes oversize K cheap,
-                    # while small K multiplies while_loop iterations
+K_OCCL = 64         # average worklist budget per tile (the global budget
+                    # is K_OCCL * ntiles items — _budget_worklist); bounds
+                    # only the scalar-prefetch SMEM footprint per call
 
 
-def _mesh_kernel(k_per_tile, tid_ref, bid_ref, tlo_ref,
+def _mesh_kernel(tid_ref, bid_ref, tlo_ref,
                  o_ref, d_ref, tri_ref, ain_ref, rin_ref, bnd_ref,
                  a_ref, row_ref):
     """One (MESH_TILE-ray tile, 128-triangle chunk) work item. Rays are
     mesh-local with unit directions; fold on the local parameter `a`
     (monotone in world distance within one instance — see
-    pallas_trace.mesh_best_rows). The worklist is exactly [ntiles,
-    k_per_tile] flattened, so a tile's first step is w % k == 0; it
-    seeds the fold from the carried-in best (ain/rin). A chunk body is
-    skipped when its entry bound can no longer beat any ray's best —
-    front-to-back occlusion termination (chunks arrive nearest-first)."""
+    pallas_trace.mesh_best_rows). The worklist is COMPACTED and
+    tile-sorted (_budget_worklist), so a tile's first step is where tid
+    changes; it seeds the fold from the carried-in best (ain/rin); tiles
+    with no work are never visited (the caller merges their carry back).
+    A chunk body is skipped when its entry bound can no longer beat any
+    ray's best — front-to-back occlusion termination (chunks arrive
+    nearest-first)."""
     w = pl.program_id(0)
     bid = bid_ref[w]
-    first = w % k_per_tile == 0
+    first = jnp.logical_or(
+        w == 0, tid_ref[jnp.maximum(w - 1, 0)] != tid_ref[w])
 
     @pl.when(first)
     def _():
@@ -356,9 +425,10 @@ def _mesh_kernel(k_per_tile, tid_ref, bid_ref, tlo_ref,
 
 
 def _mesh_fold_call(o_rows, d_rows, tri, tid, bid, tlo, a, row, bound,
-                    k_per_tile, interpret):
-    """One Pallas fold over a [ntiles, k_per_tile] worklist, carrying the
-    prior per-ray best in/out. bound: [M] per-ray root-box exit cap."""
+                    grid_n, interpret):
+    """One Pallas fold over a compacted tile-sorted worklist, carrying
+    the prior per-ray best in/out. grid_n: dynamic trip count (the real
+    item count). bound: [M] per-ray root-box exit cap."""
     m = o_rows.shape[1]
     ray_spec = pl.BlockSpec((3, MESH_TILE), lambda w, t, b, q: (0, t[w]),
                             memory_space=pltpu.VMEM)
@@ -369,14 +439,14 @@ def _mesh_fold_call(o_rows, d_rows, tri, tid, bid, tlo, a, row, bound,
                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(tid.shape[0],),
+        grid=(grid_n,),
         in_specs=[ray_spec, ray_spec, tri_spec, io_spec, io_spec, io_spec],
         out_specs=[io_spec, io_spec],
     )
     out_shape = [jax.ShapeDtypeStruct((1, m), jnp.float32),
                  jax.ShapeDtypeStruct((1, m), jnp.int32)]
     a2, row2 = pl.pallas_call(
-        functools.partial(_mesh_kernel, k_per_tile),
+        _mesh_kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -434,15 +504,14 @@ def mesh_best_rows_sparse(o, d, tri, cbb, interpret=False):
                       texi * np.float32(1.0001) + np.float32(1e-4),
                       np.float32(0.0))                  # [M]
 
-    k = min(K_OCCL, nchunks)
-    rows_i = jnp.arange(nt, dtype=jnp.int32)[:, None]
-    tid_w = jnp.broadcast_to(rows_i, (nt, k)).reshape(-1)
+    w = min(K_OCCL * nt, nt * nchunks)
+    order_in_tile, tlo_sorted = _ranked_schedule(tlo)
 
     def amax_tiles(a):
         return jnp.minimum(a, bound).reshape(nt, MESH_TILE).max(axis=1)
 
     def candidates(a, processed):
-        return (~processed) & (tlo < amax_tiles(a)[:, None])
+        return (~processed) & (tlo_sorted < amax_tiles(a)[:, None])
 
     def cond(carry):
         a, row, processed = carry
@@ -450,18 +519,21 @@ def mesh_best_rows_sparse(o, d, tri, cbb, interpret=False):
 
     def body(carry):
         a, row, processed = carry
-        key = jnp.where(candidates(a, processed), tlo, INF)
-        negv, idx = jax.lax.top_k(-key, k)              # nearest-first
-        valid = negv > -INF
-        bid_w = jnp.where(valid, idx, -1).astype(jnp.int32).reshape(-1)
-        tlo_w = jnp.where(valid, -negv, INF).reshape(-1)
-        a, row = _mesh_fold_call(o, d, tri, tid_w, bid_w, tlo_w,
-                                 a, row, bound, k, interpret)
-        processed = processed.at[rows_i, idx].max(valid)
-        return a, row, processed
+        tid_c, bid_c, tlo_c, grid_n, executed = _budget_worklist(
+            candidates(a, processed), order_in_tile, tlo_sorted, w,
+            interpret)
+        a2, row2 = _mesh_fold_call(o, d, tri, tid_c, bid_c, tlo_c,
+                                   a, row, bound, grid_n, interpret)
+        # unvisited tiles' output blocks are untouched garbage — merge
+        # the carry back for them
+        vis = jnp.broadcast_to(
+            executed.any(axis=1)[:, None], (nt, MESH_TILE)).reshape(-1)
+        a = jnp.where(vis, a2, a)
+        row = jnp.where(vis, row2, row)
+        return a, row, processed | executed
 
     init = (jnp.full((m,), FLT_MAX, jnp.float32),
             jnp.full((m,), -1, jnp.int32),
-            tlo >= INF)
+            tlo_sorted >= INF)
     a, row, _ = jax.lax.while_loop(cond, body, init)
     return a, row
