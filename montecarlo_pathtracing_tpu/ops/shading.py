@@ -169,7 +169,17 @@ def intersection_info_soa(scene, hit, prev=None):
     from . import vec
 
     prim = jnp.clip(hit.prim, 0, scene.nb_prims - 1)
-    trf_rows = jnp.take(vec.affine_rows(scene.transfo), prim, axis=1)
+    # ONE per-prim gather for both transform tables (each gather is a
+    # fixed ~0.25 ms custom-call at 131K rays regardless of table size —
+    # merging tables halves the count)
+    if scene.tri_va.shape[0] > 0:
+        both = jnp.concatenate([vec.affine_rows(scene.transfo),
+                                vec.affine_rows(scene.mesh_transfo)],
+                               axis=0)                   # [24, P]
+        rows24 = jnp.take(both, prim, axis=1)
+        trf_rows, mrows = rows24[0:12], rows24[12:24]
+    else:
+        trf_rows = jnp.take(vec.affine_rows(scene.transfo), prim, axis=1)
     pl, pg = hit.pl, hit.pg
     shape = hit.shape
     dircode = hit.dircode
@@ -206,20 +216,23 @@ def intersection_info_soa(scene, hit, prev=None):
         # ONE row-form gather per table ([9, T] take along axis 1) — 18
         # separate 1-D takes cost ~milliseconds EACH on TPU (random
         # 4-byte accesses), the row form ~0.03 ms (see device.py)
-        pr = jnp.take(scene.tri_pos_rows, tri, axis=1)   # [9, M]
-        A, B, C = pr[0:3], pr[3:6], pr[6:9]              # [3, M] each
-        mrows = jnp.take(vec.affine_rows(scene.mesh_transfo), prim, axis=1)
         if scene.flat_face:
+            pr = jnp.take(scene.tri_pos_rows, tri, axis=1)   # [9, M]
+            A, B, C = pr[0:3], pr[3:6], pr[6:9]              # [3, M]
             no_mesh = _cross2d(B - A, C - A)
         else:
+            # one merged [18, T] gather for corners + vertex normals
+            pn = jnp.take(jnp.concatenate(
+                [scene.tri_pos_rows, scene.tri_norm_rows], axis=0),
+                tri, axis=1)                                 # [18, M]
+            A, B, C = pn[0:3], pn[3:6], pn[6:9]
             PA, PB, PC = A - pl2, B - pl2, C - pl2
             def _len(v):
                 return jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
             tA = _len(_cross2d(PB, PC))
             tB = _len(_cross2d(PA, PC))
             tC = _len(_cross2d(PA, PB))
-            nr = jnp.take(scene.tri_norm_rows, tri, axis=1)
-            no_mesh = nr[0:3] * tA + nr[3:6] * tB + nr[6:9] * tC
+            no_mesh = pn[9:12] * tA + pn[12:15] * tB + pn[15:18] * tC
         n_mesh2 = _norm2d(_affine2d(mrows, pl2 + no_mesh) - pg2)
         n2 = jnp.where((shape == CODE_MESH)[None, :], n_mesh2, n2)
 

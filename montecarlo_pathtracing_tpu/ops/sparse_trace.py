@@ -50,7 +50,12 @@ from .worklist import tile_bundles, bundle_box_entry
 SUP = 8             # prims per analytic work block
 AN_TILE = 1024      # rays per analytic tile (8 sublanes x 128 lanes)
 AN_ROWS = AN_TILE // 128
-MESH_TILE = 256     # rays per mesh tile (sublane-major [T, C] layout)
+MESH_TILE = 128     # rays per mesh tile (sublane-major [T, C] layout).
+                    # 128 is the Mosaic lane floor for the (3, MESH_TILE)
+                    # ray blocks; vs 256 it halves the per-tile direction
+                    # union that decides how many chunks a tile is
+                    # charged for (mesh_hires +44%, mesh_demo +12%
+                    # measured once worklists were pad-free)
 
 
 # ---------------------------------------------------------------------------
@@ -71,10 +76,18 @@ def _ranked_schedule(tlo_all):
     """Pre-sort each tile's blocks nearest-first ONCE (outside the
     refinement loop). tlo_all: [nt, S] conservative entry distances
     (INF = unreachable). Returns (order_in_tile [nt, S] i32 block ids by
-    ascending entry, tlo_sorted [nt, S])."""
-    order = jnp.argsort(tlo_all, axis=1)
-    tlo_sorted = jnp.take_along_axis(tlo_all, order, axis=1)
-    return order.astype(jnp.int32), tlo_sorted
+    ascending entry, tlo_sorted [nt, S]).
+
+    One multi-operand lax.sort, NOT argsort + take_along_axis: the
+    take_along gather cost 2.5 ms per [512, 796] call on chip (31% of a
+    mesh_hires pass); the hardware sort carries the id payload for
+    free."""
+    nt, s = tlo_all.shape
+    ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :],
+                           (nt, s))
+    tlo_sorted, order = jax.lax.sort((tlo_all, ids), dimension=1,
+                                     num_keys=1)
+    return order, tlo_sorted
 
 
 def _budget_worklist(valid_sorted, order_in_tile, tlo_sorted, w, interpret):
