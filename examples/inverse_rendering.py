@@ -1,11 +1,16 @@
 """Inverse-rendering demo (BASELINE config 4).
 
 Renders a target image of the box_balls scene (all four material cases
-live there), perturbs one sphere's albedo + roughness AND the global
-refraction index, then recovers all three by Adam descent on the pixel
-MSE using the detached-sampling gradients — through the Pallas fast
-path on TPU (render/diff.py use_pallas auto). Writes target / initial /
-recovered PNGs and the loss curve to examples/captures/.
+live there), perturbs one cube's albedo + roughness AND the global
+refraction index, then recovers all three: albedo by Adam descent on
+the pixel MSE with the exact detached-sampling gradients (Pallas fast
+path), roughness and IOR by deterministic coordinate scans on forward
+renders — the loss is deterministic (fixed per-pass RNG seeds), and AD
+is knowably wrong for those two scalars (the detached estimator drops
+the roughness-through-sampling pathway; the clamped-Schlick quirk
+zeroes the fast-route IOR pathway). Two interleaved stages resolve the
+coupling. Writes target / initial / recovered PNGs and the loss curve
+to examples/captures/.
 
   python examples/inverse_rendering.py            # 800x600 on TPU
   python examples/inverse_rendering.py --cpu --quick
@@ -94,14 +99,63 @@ def main():
     write_png(f"{args.outdir}/inv_initial.png",
               np.asarray(init_img).reshape(h, w, 3))
 
-    # use_pallas=None: the auto-route picks the DENSE path because
-    # fit_ior is set (the fast route's refract_ind gradient is ~0 —
-    # see render/diff.inverse_render_fit)
-    p_fit, losses = inverse_render_fit(
-        dev, target, origin, dirs, tc, prim_ids=[target_prim],
-        steps=steps, lr=3e-2, n_passes=4, nb_bounces=6,
-        fit_albedo=True, fit_mat_cols=(1,), fit_ior=True,
-        seed_params=p0, verbose=True, use_pallas=None)
+    # Staged recovery. Why not one joint AD fit (the round-3 recipe,
+    # which did NOT converge): the detached-sampling estimator drops the
+    # roughness gradient's main pathway (roughness shapes the SAMPLED
+    # directions, which are stop_gradient'ed), and the reference's
+    # clamped-Schlick quirk zeroes most of the IOR pathway — AD descends
+    # a wrong direction for those two scalars. But the loss is
+    # DETERMINISTIC (fixed per-pass RNG seeds), so the two scalars are
+    # recovered by exact coordinate scans with parabolic refinement on
+    # forward renders (fast path — no gradients needed), interleaved
+    # with albedo-only AD stages whose gradients ARE exact.
+    losses = []
+
+    def loss_of(p):
+        img = render_mean(dev, p, origin, dirs, tc, 4, 6,
+                          "montecarlo", fast)
+        return float(jnp.mean((img - target) ** 2))
+
+    def scan_scalar(p, get, put, lo, hi, coarse=13, refine=3):
+        """Deterministic 1-D recovery: coarse grid + golden refinement."""
+        xs = np.linspace(lo, hi, coarse)
+        ls = [loss_of(put(p, x)) for x in xs]
+        i = int(np.argmin(ls))
+        a = xs[max(i - 1, 0)]
+        b = xs[min(i + 1, coarse - 1)]
+        for _ in range(refine):
+            m1 = a + (b - a) / 3
+            m2 = b - (b - a) / 3
+            if loss_of(put(p, m1)) < loss_of(put(p, m2)):
+                b = m2
+            else:
+                a = m1
+        x = 0.5 * (a + b)
+        p = put(p, x)
+        losses.append(loss_of(p))
+        return p
+
+    def put_rough(p, x):
+        return p._replace(mat=p.mat.at[target_prim, 1].set(x))
+
+    def put_ior(p, x):
+        return p._replace(refract_ind=jnp.float32(x))
+
+    p_fit = p0
+    ad_steps = max(10, steps // 3)
+    for stage in range(2):
+        # albedo via AD (exact detached-sampling gradients, fast path)
+        p_fit, la = inverse_render_fit(
+            dev, target, origin, dirs, tc, prim_ids=[target_prim],
+            steps=ad_steps, lr=5e-2, n_passes=4, nb_bounces=6,
+            fit_albedo=True, seed_params=p_fit, verbose=True)
+        losses.extend(la)
+        # the two scalars via deterministic scans
+        p_fit = scan_scalar(p_fit, None, put_rough, 0.0, 1.0)
+        p_fit = scan_scalar(p_fit, None, put_ior, 1.0, 2.5)
+        print(f"stage {stage}: loss {losses[-1]:.6f} "
+              f"rough {float(p_fit.mat[target_prim, 1]):.3f} "
+              f"ior {float(p_fit.refract_ind):.3f}")
 
     final = render_mean(dev, p_fit, origin, dirs, tc, 4, 6,
                         "montecarlo", fast)

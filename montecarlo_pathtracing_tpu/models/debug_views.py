@@ -70,13 +70,34 @@ def render_debug_png(scene, proj, view, width, height, path,
     return img
 
 
+_BVH_CACHE: dict = {}
+
+
+def scene_bvh(scene):
+    """Heap-format scene BVH (exact bvh.cpp:34-93 layout) built on demand
+    from the DeviceScene's padded world AABBs. Debug-only: no trace path
+    consumes the heap BVH (the frontier culls use Morton chunk/super
+    boxes — ops/worklist.py, ops/sparse_trace.py), so DeviceScene does
+    not carry it. Centers reproduce compile_scene's exactly:
+    prim_bb returns ((mn + mx) / 2, mn, mx) (scene/scene.py:190-206)."""
+    key = id(scene)
+    if key not in _BVH_CACHE:
+        from ..scene.bvh_builder import build_bvh
+        mn = np.asarray(scene.prim_bb_min)
+        mx = np.asarray(scene.prim_bb_max)
+        _BVH_CACHE[key] = build_bvh(((mn + mx) / 2.0).astype(np.float32),
+                                    mn, mx)
+    return _BVH_CACHE[key]
+
+
 def bvh_level_boxes(scene, level: int):
     """AABBs of the scene BVH at heap `level` (root = 0): [2^level, 2, 3].
     Mirrors the wire-cube instancing source (shaders/bb.vert:11-28)."""
+    bvh = scene_bvh(scene)
     lo = (1 << level) - 1
     hi = (1 << (level + 1)) - 1
-    mn = np.asarray(scene.bvh_bb_min[lo:hi])
-    mx = np.asarray(scene.bvh_bb_max[lo:hi])
+    mn = np.asarray(bvh.bb_min[lo:hi])
+    mx = np.asarray(bvh.bb_max[lo:hi])
     return np.stack([mn, mx], axis=1)
 
 

@@ -14,8 +14,12 @@ scene becomes a pytree of dense arrays:
     raytracer_func.frag:690-704)
   - per-mesh-instance pre-gathered triangle corner/normal arrays (padded
     with degenerate triangles), replacing tex_tri_/tex_p_/tex_n_
-  - the scene BVH (heap boxes + leaf ids, exact bvh.cpp:34-93 format) and
-    per-mesh BVHs for the traversal kernels
+  - Morton-ordered chunk/super AABB tables per group and per mesh — the
+    acceleration structure the trace paths actually consume (frontier
+    culling + occlusion-ordered worklists, ops/worklist.py /
+    ops/sparse_trace.py). The reference's heap BVH (exact bvh.cpp:34-93
+    format) still exists for parity/debugging but is built on demand by
+    models/debug_views.scene_bvh, not carried here
 
 Static metadata (group codes, offsets, counts) lives in meta fields so the
 whole thing jits cleanly; `color` and `mat` are the differentiable leaves
@@ -35,7 +39,6 @@ from .scene import (
     ScenePrimitives, CODE_MESH, CODE_SPHERE, CODE_CUBE, CODE_CYLINDER,
     CODE_CONE, CODE_ORIENTED_QUAD,
 )
-from .bvh_builder import build_bvh
 
 F32 = np.float32
 
@@ -107,10 +110,6 @@ class DeviceScene:
     # adjacent triangles) — the inner level: a ray tile that misses a
     # super skips all 16 leaf box tests and bodies
     mesh_super_bb: Tuple[jnp.ndarray, ...]
-    # --- scene BVH (reference bvh.cpp heap format) ---
-    bvh_bb_min: jnp.ndarray     # [2^(d+1)-1, 3]
-    bvh_bb_max: jnp.ndarray
-    bvh_leaf: jnp.ndarray       # [2^d] i32, -1 empty
     # per-prim world AABBs (prim_bb x1.005 padding, scene.cpp:18-42) —
     # the megakernel's per-prim frontier culling reads these
     prim_bb_min: jnp.ndarray    # [N,3]
@@ -124,7 +123,6 @@ class DeviceScene:
     tri_chunk: int = dataclasses.field(metadata=dict(static=True))
     nb_prims: int = dataclasses.field(metadata=dict(static=True))
     nb_emissives: int = dataclasses.field(metadata=dict(static=True))
-    bvh_depth: int = dataclasses.field(metadata=dict(static=True))
     flat_face: bool = dataclasses.field(metadata=dict(static=True))
     has_transparent: bool = dataclasses.field(metadata=dict(static=True))
 
@@ -134,8 +132,8 @@ class DeviceScene:
 
 
 def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
-                  tri_chunk: int = 256, flat_face: bool = False,
-                  use_native_bvh=None) -> DeviceScene:
+                  tri_chunk: int = 256,
+                  flat_face: bool = False) -> DeviceScene:
     """finalize() analog: emissive sort -> BVH build -> dense device arrays."""
     nb_emissives = scene.sort_emissive_first()
     n = scene.nb
@@ -148,9 +146,11 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
     inv_transfo = np.stack([p.inv_transfo for p in scene.prims]).astype(F32)
     mesh_transfo = np.stack([p.mesh_transfo for p in scene.prims]).astype(F32)
 
-    # scene BVH over world AABBs (prim_bb padding x1.005, scene.cpp:18-42)
+    # world AABBs (prim_bb padding x1.005, scene.cpp:18-42); the heap
+    # BVH itself is built on demand by the debug views only
+    # (models/debug_views.scene_bvh) — no trace path consumes it, the
+    # frontier culls use the Morton chunk/super boxes below instead
     centers, bbmin, bbmax = scene.all_prim_bbs()
-    bvh = build_bvh(centers, bbmin, bbmax, use_native=use_native_bvh)
 
     # typed analytic groups. Prims inside a group are MORTON-ORDERED by
     # world-AABB center so that contiguous kernel chunks are spatially
@@ -316,9 +316,6 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
         tri_norm_rows=rows9(na_l, nb_l, nc_l),
         mesh_chunk_bb=tuple(mesh_cbb),
         mesh_super_bb=tuple(mesh_sbb),
-        bvh_bb_min=jnp.asarray(bvh.bb_min),
-        bvh_bb_max=jnp.asarray(bvh.bb_max),
-        bvh_leaf=jnp.asarray(bvh.leaf),
         prim_bb_min=jnp.asarray(bbmin.astype(F32)),
         prim_bb_max=jnp.asarray(bbmax.astype(F32)),
         group_codes=tuple(group_codes),
@@ -329,7 +326,6 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
         tri_chunk=tri_chunk,
         nb_prims=n,
         nb_emissives=nb_emissives,
-        bvh_depth=bvh.depth,
         flat_face=flat_face,
         has_transparent=has_transparent,
     )

@@ -246,6 +246,43 @@ def scene_mesh_hires(light_intensity=1.2) -> ScenePrimitives:
     return s
 
 
+def scene_stress(light_intensity=1.2, n_prims: int = 10240,
+                 seed: int = 7) -> ScenePrimitives:
+    """Procedural large-scene stress fixture: a jittered grid of ~n_prims
+    spheres/cubes over a ground plane under one area light. New-framework
+    fixture (the reference's traversal bound is ~2^27 prims via 29-deep
+    BVH stacks, shaders/raytracer_func.frag:644,736, but it ships no
+    large scene) — used by benchmarks/stress_curve.py to demonstrate the
+    worklist path's scaling beyond the megakernel's 1024-prim SMEM cap."""
+    rng = np.random.default_rng(seed)
+    s = ScenePrimitives()
+    s.add_oriented_quad(T(0, 0, -12) @ S(4000, 4000, 1), Material(GRIS))
+    side = int(np.ceil(np.sqrt(n_prims - 2)))
+    pitch = 24.0
+    ext = side * pitch / 2.0
+    count = 0
+    cols = [ROUGE, VERT, BLEU, JAUNE, CYAN, MAGENTA, BLANC, ORANGE]
+    for i in range(side):
+        for j in range(side):
+            if count >= n_prims - 2:
+                break
+            x = (i + 0.5) * pitch - ext + rng.uniform(-6, 6)
+            y = (j + 0.5) * pitch - ext + rng.uniform(-6, 6)
+            r = rng.uniform(3.0, 8.0)
+            mat = Material(cols[(i * 7 + j) % 8],
+                           float(rng.uniform(0, 0.6)) if (count % 3) else 0.0,
+                           float(rng.uniform(0, 1)))
+            m = T(x, y, -12 + r) @ S(r)
+            if count % 4 == 0:
+                s.add_cube(m @ RZ(float(rng.uniform(0, 90))), mat)
+            else:
+                s.add_sphere(m, mat)
+            count += 1
+    s.add_oriented_quad(T(0, 0, 600) @ RX(180) @ S(300, 300, 1),
+                        Material.light(BLANC, 10 * light_intensity))
+    return s
+
+
 SCENES = {
     "box_diffuse": scene_box_diffuse,    # Q
     "box_balls": scene_box_balls,        # W
@@ -257,6 +294,7 @@ SCENES = {
     "colonnes": scene_colonnes,          # I
     "mesh_demo": scene_mesh_demo,        # new
     "mesh_hires": scene_mesh_hires,      # new, >=50k-tri stress
+    "stress_10k": scene_stress,          # new, 10k-prim analytic stress
 }
 
 

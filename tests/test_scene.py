@@ -90,3 +90,24 @@ def test_mesh_instancing_shares_geometry():
     dev = compile_scene(s)
     assert dev.nb_meshes == 2
     assert dev.tri_va.shape[0] == 2 * dev.mesh_tri_padded[0]
+
+
+def test_stress_scene_builds_and_renders():
+    """The procedural large-scene stress fixture (benchmarks/
+    stress_curve.py): exact prim count, one emissive, non-black tiny
+    render through the auto route."""
+    import jax.numpy as jnp
+    from montecarlo_pathtracing_tpu.scene.scenes import scene_stress
+    from montecarlo_pathtracing_tpu.scene.device import compile_scene
+    from montecarlo_pathtracing_tpu.render.renderer import (
+        RenderConfig, Renderer)
+    from montecarlo_pathtracing_tpu.render.camera import default_rt_camera
+
+    dev = compile_scene(scene_stress(n_prims=300))
+    assert dev.nb_prims == 300
+    assert dev.nb_emissives == 1
+    cfg = RenderConfig(width=48, height=32, nb_bounces=3)
+    proj, view = default_rt_camera(48, 32, pitch=-40.0, zoom=2.0)
+    r = Renderer(dev, cfg, proj, view)
+    img = r.run(2)
+    assert float(jnp.mean(img)) > 0.01
