@@ -56,7 +56,7 @@ def main():
         RenderConfig, Renderer)
 
     width, height, bounces = 800, 600, 3
-    warmup_passes, timed_passes = 2, 16
+    timed_passes = 64
     on_tpu = jax.devices()[0].platform == "tpu"
 
     if on_tpu:
@@ -67,8 +67,13 @@ def main():
         run_smoke()
 
     dev = compile_scene(scenes.build("box_diffuse"))
+    # passes_per_call=16: one jitted multi-pass call per timing window —
+    # per-dispatch overhead through the remote-TPU tunnel measured
+    # ~0.7 ms amortized, which at megakernel speeds was ~40% of a
+    # 64-dispatch window. Accumulation is bit-identical to sequential
+    # passes (render/renderer.multi_pass adds in pass order).
     cfg = RenderConfig(width=width, height=height, nb_bounces=bounces,
-                       tile_rays=1 << 17, passes_per_call=1,
+                       tile_rays=1 << 17, passes_per_call=timed_passes,
                        use_pallas=on_tpu)
     r = Renderer(dev, cfg)
     from montecarlo_pathtracing_tpu.models.megakernel import mega_eligible
@@ -82,21 +87,22 @@ def main():
         return float(jnp.sum(r._acc))
 
     t0 = time.perf_counter()
-    for _ in range(warmup_passes):
-        r.render_pass()
+    r.advance(timed_passes)          # compiles + runs the batched call
     sync()
     warmup_s = time.perf_counter() - t0
 
     # best-of-N timing windows: the remote-TPU tunnel's throughput
     # swings >2x with transient contention; the fastest window is the
-    # honest per-chip capability (each window is a full 16-pass render).
-    # Every window time is recorded so the JSON can adjudicate its own
-    # variance (the round-3 "regression" was a single unexplained swing).
+    # honest per-chip capability (each window is a full 64-pass render,
+    # ONE batched device call — long enough that the unavoidable ~30 ms
+    # per-window scalar-fetch sync through the tunnel stays <15% of the
+    # window). Every window time is recorded so the JSON can adjudicate
+    # its own variance (the round-3 "regression" was a single
+    # unexplained swing).
     windows = []
     for _ in range(6):
         t0 = time.perf_counter()
-        for _ in range(timed_passes):
-            r.render_pass()
+        r.advance(r.nb_passes + timed_passes)
         sync()
         windows.append(round(time.perf_counter() - t0, 4))
     dt = min(windows)

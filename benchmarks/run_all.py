@@ -70,18 +70,19 @@ def main():
             dev = compile_scene(scenes.build(name))
             r = Renderer(dev, RenderConfig(
                 width=w, height=h, nb_bounces=bounces,
-                tile_rays=1 << 17, use_pallas=on_tpu))
+                tile_rays=1 << 17, passes_per_call=passes,
+                use_pallas=on_tpu))
             t0 = time.perf_counter()
-            r.render_pass()
+            r.advance(passes)               # compile + run batched call
             float(jnp.sum(r._acc))          # tunnel-safe sync
             compile_s = time.perf_counter() - t0
-            # best of 2 windows: the remote-TPU tunnel swings >2x with
-            # transient contention (see bench.py)
+            # best of 3 windows, each ONE batched multi-pass call (the
+            # remote-TPU tunnel swings >2x with transient contention;
+            # per-dispatch overhead is ~0.7 ms — see bench.py)
             dt = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
-                for _ in range(passes):
-                    r.render_pass()
+                r.advance(r.nb_passes + passes)
                 float(jnp.sum(r._acc))
                 dt = min(dt, time.perf_counter() - t0)
             img = r.image()

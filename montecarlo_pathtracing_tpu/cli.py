@@ -220,7 +220,7 @@ def main(argv=None):
             target = min(args.spp, r.nb_passes + args.checkpoint_every)
         else:
             target = args.spp
-        r.run(target)          # batched multi-pass dispatch
+        r.advance(target)      # batched multi-pass dispatch
         if args.checkpoint and args.checkpoint_every:
             r.save_checkpoint(args.checkpoint)
     import jax
