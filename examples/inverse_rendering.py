@@ -141,6 +141,11 @@ def main():
     def put_ior(p, x):
         return p._replace(refract_ind=jnp.float32(x))
 
+    def put_albedo(ch):
+        def put(p, x):
+            return p._replace(color=p.color.at[target_prim, ch].set(x))
+        return put
+
     p_fit = p0
     ad_steps = max(10, steps // 3)
     for stage in range(2):
@@ -153,9 +158,33 @@ def main():
         # the two scalars via deterministic scans
         p_fit = scan_scalar(p_fit, None, put_rough, 0.0, 1.0)
         p_fit = scan_scalar(p_fit, None, put_ior, 1.0, 2.5)
+        # Adam plateaus within ~0.1 of the albedo optimum (small masked
+        # gradients against a full-image MSE); the loss is deterministic,
+        # so polish each channel with the same exact scan
+        for ch in range(3):
+            lo = float(p_fit.color[target_prim, ch]) - 0.25
+            p_fit = scan_scalar(p_fit, None, put_albedo(ch),
+                                max(0.0, lo), min(1.0, lo + 0.5),
+                                coarse=11, refine=5)
         print(f"stage {stage}: loss {losses[-1]:.6f} "
+              f"albedo {[round(float(c), 3) for c in p_fit.color[target_prim, :3]]} "
               f"rough {float(p_fit.mat[target_prim, 1]):.3f} "
               f"ior {float(p_fit.refract_ind):.3f}")
+
+    # the parameters sit in a coupled valley (albedo <-> rough/ior trade
+    # off in the MSE); two extra scan-only rounds walk the coordinate
+    # descent down the valley floor — each scan is exact, so the loss
+    # curve stays monotone
+    for _ in range(2):
+        p_fit = scan_scalar(p_fit, None, put_rough, 0.0, 0.4,
+                            coarse=11, refine=5)
+        p_fit = scan_scalar(p_fit, None, put_ior, 1.1, 1.7,
+                            coarse=13, refine=5)
+        for ch in range(3):
+            lo = float(p_fit.color[target_prim, ch]) - 0.15
+            p_fit = scan_scalar(p_fit, None, put_albedo(ch),
+                                max(0.0, lo), min(1.0, lo + 0.3),
+                                coarse=11, refine=5)
 
     final = render_mean(dev, p_fit, origin, dirs, tc, 4, 6,
                         "montecarlo", fast)
