@@ -92,16 +92,22 @@ def enable_compilation_cache(path: str | None = None,
             "MCPT_COMPILE_CACHE",
             os.path.join(os.path.dirname(os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
-        # Scope the cache per backend AND per machine microarchitecture:
-        # XLA:CPU persists AOT results compiled for the *build* host's ISA
-        # features, and loading them on a host with different features is a
-        # SIGILL hazard (cpu_aot_loader warns exactly this). Keying the
-        # directory on the cpuinfo flags set makes incompatible hosts use
-        # disjoint caches instead of sharing one.
+        # The persistent cache exists for the minutes-long Mosaic/TPU
+        # kernel compiles. NEVER enable it for XLA:CPU: CPU AOT results
+        # are stamped with the build process's ISA features plus tuning
+        # pseudo-features (+prefer-no-scatter/-gather) that the loader's
+        # host check does not recognize, so every load — even by an
+        # identical process on the same host — raises cpu_aot_loader
+        # "could lead to SIGILL" errors, and a genuinely different host
+        # really can SIGILL. CPU entry-point compiles are seconds, not
+        # minutes; the multi-host launcher scenario runs on TPU where
+        # Mosaic artifacts are machine-portable.
         try:
             backend = jax.default_backend()
         except Exception:
             backend = "unknown"
+        if backend == "cpu":
+            return
         fp = ""
         try:
             with open("/proc/cpuinfo") as f:

@@ -12,8 +12,12 @@ back to the round-2 noise (NCC ~0, negative for colonnes).
 
 Floors reflect measured achievable values at 256 spp: near-unity for
 the Cornell boxes, lower where the capture's trackball pose includes
-components outside the fit's reach (colonnes looks down the colonnade
-from a vantage the orbit+pan+roll search does not recover).
+components outside the fit's reach. Round 4's full-circle wide-zoom
+refit (luma-NCC objective, committed-pose seeded) lifted colonnes
+0.405 -> 0.637 and materials 0.685 -> 0.707; colonnes remains below
+0.70 — the capture appears taken from inside the colonnade with a
+perspective the orbit+pan+roll parameterization still can't exactly
+express.
 """
 import json
 import os
@@ -29,10 +33,10 @@ FLOORS = {
     "box_balls": (0.90, 0.05),
     "menger": (0.70, 0.05),
     "box_no_top": (0.72, 0.05),
-    "materials": (0.60, 0.06),
+    "materials": (0.65, 0.06),
     "4boules": (0.85, 0.05),
     "menger_lights": (0.75, 0.05),
-    "colonnes": (0.30, 0.10),
+    "colonnes": (0.55, 0.10),
 }
 
 
