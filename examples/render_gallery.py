@@ -54,8 +54,8 @@ def load_poses(outdir):
         with open(path) as f:
             fit = json.load(f)
         for name, p in fit.items():
-            pose = {k: p[k] for k in ("yaw", "pitch", "zoom", "roll")
-                    if k in p}
+            pose = {k: p[k] for k in ("yaw", "pitch", "zoom", "roll",
+                                      "fov") if k in p}
             if "center" in p:
                 pose["center"] = tuple(p["center"])
             poses[name] = pose
@@ -219,7 +219,15 @@ def main():
         dev = compile_scene(scenes.build(name, light_intensity=args.light))
         pose = dict(poses.get(name, {}))
         roll = pose.pop("roll", 0.0)
+        fov = pose.pop("fov", 1.0)
         proj, view = default_rt_camera(w, h, **pose)
+        if fov != 1.0:
+            # focal-length scale (<1 widens): the reference captures were
+            # taken at window sizes/aspects that change the GL projection,
+            # which orbit zoom (a radius scale) cannot express
+            proj = proj.copy()
+            proj[0, 0] *= fov
+            proj[1, 1] *= fov
         if roll:
             # screen-plane rotation (trackball edge-drag Z-rotate)
             view = tf.rotate_z(roll).astype(np.float32) @ view

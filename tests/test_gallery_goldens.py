@@ -13,11 +13,11 @@ back to the round-2 noise (NCC ~0, negative for colonnes).
 Floors reflect measured achievable values at 256 spp: near-unity for
 the Cornell boxes, lower where the capture's trackball pose includes
 components outside the fit's reach. Round 4's full-circle wide-zoom
-refit (luma-NCC objective, committed-pose seeded) lifted colonnes
-0.405 -> 0.637 and materials 0.685 -> 0.707; colonnes remains below
-0.70 — the capture appears taken from inside the colonnade with a
-perspective the orbit+pan+roll parameterization still can't exactly
-express.
+refit (luma-NCC objective, committed-pose seeded) plus an FOV term
+lifted colonnes 0.405 -> 0.692 and materials 0.685 -> 0.707; colonnes
+sits just under 0.70 — the capture's exact vantage (sphere pair
+center-frame behind the near column) still eludes the
+orbit+pan+roll+fov parameterization by a few degrees.
 """
 import json
 import os
@@ -36,7 +36,7 @@ FLOORS = {
     "materials": (0.65, 0.06),
     "4boules": (0.85, 0.05),
     "menger_lights": (0.75, 0.05),
-    "colonnes": (0.55, 0.10),
+    "colonnes": (0.60, 0.10),
 }
 
 
