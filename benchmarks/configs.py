@@ -40,12 +40,18 @@ def _render(name, w, h, spp, bounces, ior=1.0, light=1.2, on_tpu=True):
                        use_pallas=on_tpu)
     r = Renderer(dev, cfg)
     t0 = time.perf_counter()
-    r.run(min(spp, 1))                     # compile
+    # warm up the SAME batched multi-pass call the timed run uses (a
+    # run(1) warmup compiled only the single-pass fn and left the
+    # timed region paying the multi-pass Mosaic compile)
+    r.advance(min(spp, max(1, cfg.passes_per_call)))
+    float(jnp.sum(r._acc))                 # tunnel-safe sync
     compile_s = time.perf_counter() - t0
     r.reset()
     t0 = time.perf_counter()
-    img = r.run(spp)
+    r.advance(spp)
+    float(jnp.sum(r._acc))
     dt = time.perf_counter() - t0
+    img = r.image()                        # resolve outside the timing
     return {
         "scene": name, "width": w, "height": h, "spp": spp,
         "bounces": bounces, "ior": ior, "light": light,

@@ -101,9 +101,17 @@ def main():
         seen = {}
 
         def score(yaw, pitch, zoom, center=(0.0, 0.0, 0.0), roll=0.0,
-                  n=None):
+                  n=None, fov=1.0):
             proj, view = default_rt_camera(FIT_W, FIT_H, center=center,
                                            yaw=yaw, pitch=pitch, zoom=zoom)
+            if fov != 1.0:
+                # focal-length scale (<1 widens): the captures' window
+                # aspect changes the GL projection in a way orbit zoom
+                # (a radius scale) cannot express — measured decisive
+                # for colonnes (NCC 0.637 -> 0.692)
+                proj = proj.copy()
+                proj[0, 0] *= fov
+                proj[1, 1] *= fov
             if roll:
                 # screen-plane rotation (the trackball's edge-drag
                 # Z-rotate, gl_viewer.cpp:241-330): rotate eye space
@@ -168,17 +176,32 @@ def main():
                                 best = (s, by, bp, bz,
                                         (cx + dx, cy + dy, cz + dz),
                                         br + dr)
+        # stage D: focal-length (fov) scan at the winner, then refine
+        # pitch/zoom against it (fov trades off against both)
+        _, by, bp, bz, ctr, br = best
+        bfov = 1.0
+        for fov in (0.7, 0.8, 0.9, 1.0, 1.12, 1.25):
+            for dp in (-4, 0, 4):
+                s = score(by, bp + dp, bz, ctr, br, fov=fov)
+                if s > best[0]:
+                    best = (s, by, bp + dp, bz, ctr, br)
+                    bfov = fov
         # noise-robust final pick: rescore the 8 best noisy candidates
         # (16 spp dilutes NCC enough to flip near-ties) at 6x the spp
         top = sorted(seen.items(), key=lambda kv: -kv[1])[:8]
+        cand = [(k, 1.0) for k, _ in top]
+        cand.append(((best[1], best[2], best[3], best[4], best[5]), bfov))
         best = (-2.0, 0.0, 0.0, 1.0, (0.0, 0.0, 0.0), 0.0)
-        for (yaw, pitch, zoom, ctr, roll), _ in top:
-            s = score(yaw, pitch, zoom, ctr, roll, n=6 * spp)
+        bfov_f = 1.0
+        for (yaw, pitch, zoom, ctr, roll), fv in cand:
+            s = score(yaw, pitch, zoom, ctr, roll, n=6 * spp, fov=fv)
             if s > best[0]:
                 best = (s, yaw, pitch, zoom, ctr, roll)
+                bfov_f = fv
         s, by, bp, bz, ctr, br = best
         poses[name] = {"yaw": round(by, 2), "pitch": round(bp, 2),
                        "zoom": round(bz, 3), "roll": round(br, 2),
+                       "fov": round(bfov_f, 3),
                        "center": [round(c, 1) for c in ctr],
                        "ncc_64x48": round(s, 3),
                        "ref_capture": f"{idx}-04-1.png"}

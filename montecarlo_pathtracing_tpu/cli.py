@@ -157,13 +157,16 @@ def main(argv=None):
 
     if args.cmd == "bench":
         import jax
-        for _ in range(args.warmup):
-            r.render_pass()
-        jax.block_until_ready(r._acc)
+        import jax.numpy as jnp
+        # warm up the same batched call the timed run uses; sync with a
+        # value fetch (block_until_ready does not observe completion
+        # through the remote-TPU tunnel)
+        r.advance(max(args.warmup, min(args.spp, cfg.passes_per_call)))
+        float(jnp.sum(r._acc))
+        base = r.nb_passes
         t0 = time.time()
-        for _ in range(args.spp):
-            r.render_pass()
-        jax.block_until_ready(r._acc)
+        r.advance(base + args.spp)
+        float(jnp.sum(r._acc))
         dt = time.time() - t0
         rays = cfg.render_width * cfg.render_height * args.spp * args.bounces
         # Denominator: the measured CPU baseline for THIS scene if the
