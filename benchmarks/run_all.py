@@ -40,6 +40,10 @@ def main():
         w, h, passes, bounces = 64, 48, 4, 3
     else:
         w, h, passes, bounces = 800, 600, 16, 3
+    # fast (megakernel) scenes get longer windows so the fixed ~30 ms
+    # per-window tunnel sync stays a small fraction of the measurement;
+    # slow scenes keep short windows to bound the sweep's wall time
+    slow = ("mesh_demo", "mesh_hires", "stress_10k", "colonnes")
 
     # per-scene CPU denominators (round-2 verdict: a single-scene
     # denominator flattered the mesh scenes)
@@ -67,13 +71,14 @@ def main():
     }
     for name in scenes.SCENES:
         try:
+            n_passes = passes if name in slow else 4 * passes
             dev = compile_scene(scenes.build(name))
             r = Renderer(dev, RenderConfig(
                 width=w, height=h, nb_bounces=bounces,
-                tile_rays=1 << 17, passes_per_call=passes,
+                tile_rays=1 << 17, passes_per_call=n_passes,
                 use_pallas=on_tpu))
             t0 = time.perf_counter()
-            r.advance(passes)               # compile + run batched call
+            r.advance(n_passes)             # compile + run batched call
             float(jnp.sum(r._acc))          # tunnel-safe sync
             compile_s = time.perf_counter() - t0
             # best of 3 windows, each ONE batched multi-pass call (the
@@ -82,16 +87,17 @@ def main():
             dt = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                r.advance(r.nb_passes + passes)
+                r.advance(r.nb_passes + n_passes)
                 float(jnp.sum(r._acc))
                 dt = min(dt, time.perf_counter() - t0)
             img = r.image()
-            rps = w * h * passes * bounces / dt
+            rps = w * h * n_passes * bounces / dt
             entry = {
                 "prims": dev.nb_prims,
                 "compile_s": round(compile_s, 2),
                 "rays_per_s": round(rps, 1),
-                "spp_per_s": round(passes / dt, 2),
+                "spp_per_s": round(n_passes / dt, 2),
+                "window_passes": n_passes,
                 "img_mean": round(float(img.mean()), 5),
             }
             cpu_rps = per_scene_base.get(name)
