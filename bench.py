@@ -67,11 +67,11 @@ def main():
         run_smoke()
 
     dev = compile_scene(scenes.build("box_diffuse"))
-    # passes_per_call=16: one jitted multi-pass call per timing window —
-    # per-dispatch overhead through the remote-TPU tunnel measured
-    # ~0.7 ms amortized, which at megakernel speeds was ~40% of a
-    # 64-dispatch window. Accumulation is bit-identical to sequential
-    # passes (render/renderer.multi_pass adds in pass order).
+    # passes_per_call=timed_passes (64): ONE jitted multi-pass call per
+    # timing window — per-dispatch overhead through the remote-TPU
+    # tunnel measured ~0.7 ms amortized, which at megakernel speeds was
+    # ~40% of a 64-dispatch window. Accumulation is bit-identical to
+    # sequential passes (render/renderer.multi_pass adds in pass order).
     cfg = RenderConfig(width=width, height=height, nb_bounces=bounces,
                        tile_rays=1 << 17, passes_per_call=timed_passes,
                        use_pallas=on_tpu)

@@ -124,7 +124,10 @@ def main():
                 jnp.int32(n or spp))).reshape(FIT_H, FIT_W, 3)
             img = img[::-1]               # row 0 bottom -> top, like PNG
             s = masked_ncc(_luma_field(img, FIT_W, FIT_H), ref_f, _MASK)
-            if n is None:
+            if n is None and fov == 1.0:
+                # the key omits fov, so only fov=1.0 scores may enter
+                # `seen` — a pose whose high NCC came from fov!=1.0 must
+                # not pollute the top-8 rescoring (advisor, round 4)
                 seen[(yaw, pitch, zoom, tuple(center), roll)] = s
             return s
 

@@ -116,7 +116,7 @@ def main():
                           "montecarlo", fast)
         return float(jnp.mean((img - target) ** 2))
 
-    def scan_scalar(p, get, put, lo, hi, coarse=13, refine=3):
+    def scan_scalar(p, put, lo, hi, coarse=13, refine=3):
         """Deterministic 1-D recovery: coarse grid + golden refinement."""
         xs = np.linspace(lo, hi, coarse)
         ls = [loss_of(put(p, x)) for x in xs]
@@ -156,14 +156,14 @@ def main():
             fit_albedo=True, seed_params=p_fit, verbose=True)
         losses.extend(la)
         # the two scalars via deterministic scans
-        p_fit = scan_scalar(p_fit, None, put_rough, 0.0, 1.0)
-        p_fit = scan_scalar(p_fit, None, put_ior, 1.0, 2.5)
+        p_fit = scan_scalar(p_fit, put_rough, 0.0, 1.0)
+        p_fit = scan_scalar(p_fit, put_ior, 1.0, 2.5)
         # Adam plateaus within ~0.1 of the albedo optimum (small masked
         # gradients against a full-image MSE); the loss is deterministic,
         # so polish each channel with the same exact scan
         for ch in range(3):
             lo = float(p_fit.color[target_prim, ch]) - 0.25
-            p_fit = scan_scalar(p_fit, None, put_albedo(ch),
+            p_fit = scan_scalar(p_fit, put_albedo(ch),
                                 max(0.0, lo), min(1.0, lo + 0.5),
                                 coarse=11, refine=5)
         print(f"stage {stage}: loss {losses[-1]:.6f} "
@@ -176,13 +176,13 @@ def main():
     # descent down the valley floor — each scan is exact, so the loss
     # curve stays monotone
     for _ in range(2):
-        p_fit = scan_scalar(p_fit, None, put_rough, 0.0, 0.4,
+        p_fit = scan_scalar(p_fit, put_rough, 0.0, 0.4,
                             coarse=11, refine=5)
-        p_fit = scan_scalar(p_fit, None, put_ior, 1.1, 1.7,
+        p_fit = scan_scalar(p_fit, put_ior, 1.1, 1.7,
                             coarse=13, refine=5)
         for ch in range(3):
             lo = float(p_fit.color[target_prim, ch]) - 0.15
-            p_fit = scan_scalar(p_fit, None, put_albedo(ch),
+            p_fit = scan_scalar(p_fit, put_albedo(ch),
                                 max(0.0, lo), min(1.0, lo + 0.3),
                                 coarse=11, refine=5)
 

@@ -73,6 +73,21 @@ def render_debug_png(scene, proj, view, width, height, path,
 _BVH_CACHE: dict = {}
 
 
+def _cache_bvh(scene, bvh):
+    """Cache keyed by id(scene) with a weakref finalizer evicting the
+    entry when the DeviceScene dies — id() reuse after GC can otherwise
+    serve a different scene's BVH, and dead scenes would pin their BVHs
+    forever (advisor, round 4). DeviceScene holds jnp arrays so it is
+    not hashable; id + finalizer gives WeakKeyDictionary semantics
+    without requiring hashability."""
+    import weakref
+
+    key = id(scene)
+    _BVH_CACHE[key] = bvh
+    weakref.finalize(scene, _BVH_CACHE.pop, key, None)
+    return bvh
+
+
 def scene_bvh(scene):
     """Heap-format scene BVH (exact bvh.cpp:34-93 layout) built on demand
     from the DeviceScene's padded world AABBs. Debug-only: no trace path
@@ -85,8 +100,8 @@ def scene_bvh(scene):
         from ..scene.bvh_builder import build_bvh
         mn = np.asarray(scene.prim_bb_min)
         mx = np.asarray(scene.prim_bb_max)
-        _BVH_CACHE[key] = build_bvh(((mn + mx) / 2.0).astype(np.float32),
-                                    mn, mx)
+        return _cache_bvh(scene, build_bvh(
+            ((mn + mx) / 2.0).astype(np.float32), mn, mx))
     return _BVH_CACHE[key]
 
 

@@ -176,10 +176,12 @@ class Renderer:
         """Jitted accumulate step folding n_passes progressive passes into
         one device call. Batching matters: per-call dispatch latency
         (hundreds of ms through a remote-TPU tunnel) would otherwise dwarf
-        the per-pass compute. The passes are folded by REPLICATING the ray
-        tiles across the existing lax.map with per-tile pass offsets
-        (pass k of tile j is map element k*ntiles+j) — no extra loop
-        nesting, identical accumulation to sequential single passes."""
+        the per-pass compute. The passes are folded by a lax.fori_loop
+        over pass indices wrapping a static python loop over ray tiles
+        (accumulating in pass order into the donated accumulator) — NOT
+        lax.map over (pass, tile) items, whose scan staging of per-item
+        outputs measured 7x slower on chip. Accumulation is bit-identical
+        to sequential single passes."""
         cfg = self.config
         integrator = self._integrator
         ntiles = self._ntiles
@@ -348,10 +350,15 @@ class Renderer:
         mismatch still rejects, because every compared field affects
         either the accumulator layout (width/height/subsampling/
         pixel_order/tile_rays) or the accumulated radiance itself
-        (bounces/IOR/integrator/...). Engine-routing knobs with a
-        documented <=1-ulp radiance effect (use_pallas/use_megakernel/
-        cull_chunks) are exempt, so a checkpoint written before TPU
-        auto-routing resumes without guessing --no-pallas."""
+        (bounces/IOR/integrator/...). Engine-routing knobs
+        (use_pallas/use_megakernel/cull_chunks) are exempt with a
+        warning: their radiance effect is negligible EXCEPT on exact
+        float distance ties, where the nearest-first sparse route may
+        pick a different — equally closest — winner prim than the
+        ascending-order fold (different material/normal on those rays;
+        see ops/sparse_trace.py tie-order caveat). The accepted
+        tolerance is explicit: resumed accumulators may mix samples
+        from both winners on tied rays."""
         z = np.load(path, allow_pickle=False)
         saved = json.loads(str(z["config"]))
         current = asdict(self.config)
@@ -363,6 +370,15 @@ class Renderer:
         if diff:
             raise ValueError(
                 f"checkpoint config mismatch (saved, current): {diff}")
+        route_diff = {k: (merged[k], current[k]) for k in routing_only
+                      if merged[k] != current[k]}
+        if route_diff:
+            import warnings
+            warnings.warn(
+                "resuming under a different engine route "
+                f"{route_diff}: radiance identical except on exact "
+                "distance ties (different winner prim possible there)",
+                stacklevel=2)
         self._acc = jnp.asarray(z["acc"])
         self.nb_passes = int(z["nb_passes"])
 
