@@ -1,0 +1,693 @@
+"""Fused per-bounce wavefront kernel: trace + shade + sample in ONE
+Pallas call per bounce — the mesh-scene production engine.
+
+The round-4 profile (benchmarks/PROFILING.md) showed mesh scenes losing
+~25% of a pass to XLA glue between the trace kernels and the shading
+math (sort gathers, bundle stacks, material gathers) and ~75% to [T, C]
+Moller-Trumbore folds charged at tile granularity (~1800 ray-triangle
+tests per ray-bounce where the reference's per-ray BVH walk does ~30-60,
+shaders/raytracer_func.frag:734-769). This module is the structural fix
+designed there: one pallas_call per bounce whose grid is 128-ray tiles,
+with EVERYTHING in-kernel —
+
+  - the analytic closest-hit fold (megakernel._trace_fold, SMEM prim
+    table, winner attributes carried in VMEM scratch),
+  - a per-tile front-to-back walk of each mesh instance's chunk-level
+    acceleration structure: an XLA-precomputed nearest-first super-chunk
+    schedule (2048 Morton-adjacent triangles per super) consumed by an
+    in-kernel while_loop that EARLY-EXITS as soon as the next super's
+    conservative entry bound cannot beat any ray's running best — the
+    TPU equivalent of the reference's current-closest BVH prune
+    (intersect_bv, raytracer_func.frag:344-350),
+  - per 128-triangle chunk: an AABB gate against the live per-ray bests,
+    an async DMA of the chunk's [18, 128] corner/normal block from HBM
+    (all passing chunks of a super DMA'd eagerly so latency overlaps the
+    folds), the [128-ray, 128-tri] Moller-Trumbore fold, and a one-hot
+    winner-attribute gather on the MXU (dot_general at HIGHEST precision
+    — exact to ~1 ulp because one operand is 0/1),
+  - the full shading / material / RNG / sampling step shared with the
+    whole-path megakernel (megakernel._bounce_step — bit-identical draw
+    schedule to models/montecarlo.py),
+
+so the only HBM traffic per bounce is the ~19-row wavefront state plus
+the visited triangle chunks. Between bounces the host re-sorts the
+wavefront by (direction octant, origin Morton) — ops/sort_rays — so
+each tile stays a tight spatial bundle and the in-kernel walk visits few
+chunks; terminated lanes are parked outside every box.
+
+Because the chunk pool stays in HBM and is DMA'd on demand, scene scale
+is bounded by HBM, not VMEM or SMEM: the same kernel serves the 5k-tri
+mesh_demo and 100k+-tri pools (reference bound ~2^27 prims via 29-deep
+stacks, raytracer_func.frag:644,736).
+
+Semantics are tp/montecarlo.frag:100-188 exactly (see megakernel.py /
+models/montecarlo.py for the quirk commentary). Winner parity matches
+the SoA route up to (a) the documented nearest-first tie-order caveat
+on exact distance ties (ops/sparse_trace.py) and (b) ~1-ulp attribute
+extraction noise from the MXU one-hot gather.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.intersect import EPSILON, FLT_MAX
+from ..ops import rng as _rng
+from ..ops.worklist import tile_bundles, bundle_box_entry, INF
+from .megakernel import (
+    _trace_fold, _bounce_step, _mega_table, _mega_meta, _safe_rcp,
+    MEGA_MAX_PRIMS, U32,
+)
+
+LANES = 128
+SUB = 8                 # sublane rows per ray tile: tile = SUB*128 rays.
+                        # (SUB, 128) blocks fill the 8x128 VPU; the
+                        # per-tile walk/DMA scalar overhead amortizes
+                        # over 8x more rays than single-row tiles
+                        # (measured 128-ray tiles scalar-bound, round 5)
+TILE = SUB * LANES
+TRI_SUPER = 16          # chunks per super (scene/device.TRI_SUPER)
+NSLOT = TRI_SUPER       # DMA slots: a whole super's chunks in flight
+_ABLATE = set()         # debug: {'fold','extract','mesh','analytic','shade'}
+SF = 15                 # f32 state rows: o3 d3 attenu3 total3 result3
+SU = 4                  # u32 state rows: done, rng s0 s1 s2
+
+
+def fused_eligible(scene) -> bool:
+    """Static routing predicate: scenes WITH meshes whose analytic part
+    fits the SMEM prim table. Analytic-only scenes use the whole-path
+    megakernel (<=1024 prims) or the worklist route instead."""
+    if not scene.mesh_prim_index or scene.tri_chunks.shape[0] == 0:
+        return False
+    total = sum(int(g.shape[0]) for g in scene.group_prim)
+    return total <= MEGA_MAX_PRIMS
+
+
+# --------------------------------------------------------------------------
+# in-kernel mesh instance walk
+# --------------------------------------------------------------------------
+
+def _slab_rows(lo, hi, o, rd, cap):
+    """Per-ray slab test of one box (6 scalars) against (1,128) rays.
+    Returns (hit mask, tmin) with the front-to-back cap applied."""
+    t0x = (lo[0] - o[0]) * rd[0]
+    t1x = (hi[0] - o[0]) * rd[0]
+    t0y = (lo[1] - o[1]) * rd[1]
+    t1y = (hi[1] - o[1]) * rd[1]
+    t0z = (lo[2] - o[2]) * rd[2]
+    t1z = (hi[2] - o[2]) * rd[2]
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z))
+    return (tmax >= tmin) & (tmin <= cap), tmin
+
+
+def _mt_rows(A, B, C, o, d):
+    """Moller-Trumbore of ONE triangle per lane against the lane's ray —
+    all operands (1,128). Used to re-derive the extracted winner's local
+    parameter in the lanes orientation (exact same formula as the [R, C]
+    fold; any difference is fused-multiply ulps)."""
+    e1 = (B[0] - A[0], B[1] - A[1], B[2] - A[2])
+    e2 = (C[0] - A[0], C[1] - A[1], C[2] - A[2])
+    hx = d[1] * e2[2] - d[2] * e2[1]
+    hy = d[2] * e2[0] - d[0] * e2[2]
+    hz = d[0] * e2[1] - d[1] * e2[0]
+    det = e1[0] * hx + e1[1] * hy + e1[2] * hz
+    invd = 1.0 / det
+    sx, sy, sz = o[0] - A[0], o[1] - A[1], o[2] - A[2]
+    u = (sx * hx + sy * hy + sz * hz) * invd
+    qx = sy * e1[2] - sz * e1[1]
+    qy = sz * e1[0] - sx * e1[2]
+    qz = sx * e1[1] - sy * e1[0]
+    vv = (d[0] * qx + d[1] * qy + d[2] * qz) * invd
+    a = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * invd
+    valid = ((jnp.abs(det) >= EPSILON)
+             & (u >= 0.0) & (u <= 1.0)
+             & (vv >= 0.0) & (u + vv <= 1.0)
+             & (a > EPSILON))
+    return a, valid
+
+
+def _mesh_instance(flat_face, mi, o, d, refs):
+    """Walk ONE mesh instance for the current tile and merge its winner
+    into the analytic winner scratch (megakernel attribute layout).
+
+    mi: dynamic instance index. refs: dict of kernel refs + the static
+    `scheduled` flag (outer trace uses the XLA nearest-first super
+    schedule with early exit; the inner refraction re-trace, whose rays
+    exist only in-kernel, walks supers in Morton order behind an
+    in-kernel super slab test)."""
+    msc = refs["msc"]
+    msi = refs["msi"]
+    cbb = refs["cbb"]
+    sbb = refs["sbb"]
+    pool = refs["pool"]
+    slots = refs["slots"]
+    sems = refs["sems"]
+    mjar = refs["mjar"]
+    mrow = refs["mrow"]
+    erow = refs["erow"]
+    abest = refs["abest"]
+    wfound = refs["wfound"]
+    wattr = refs["wattr"]
+    (bd_s, nx_s, ny_s, nz_s, px_s, py_s, pz_s,
+     sh_s, ro_s, em_s, cr_s, cg_s, cb_s, ca_s) = refs["scr"]
+
+    iv = [msc[r, mi] for r in range(12)]
+    tf = [msc[12 + r, mi] for r in range(12)]
+
+    # mesh-local frame; nrm converts local parameter <-> world distance
+    # (a_local = dist_world * nrm for unit world d — see trace_soa)
+    oi = (iv[0] * o[0] + iv[1] * o[1] + iv[2] * o[2] + iv[3],
+          iv[4] * o[0] + iv[5] * o[1] + iv[6] * o[2] + iv[7],
+          iv[8] * o[0] + iv[9] * o[1] + iv[10] * o[2] + iv[11])
+    dnx = iv[0] * d[0] + iv[1] * d[1] + iv[2] * d[2]
+    dny = iv[4] * d[0] + iv[5] * d[1] + iv[6] * d[2]
+    dnz = iv[8] * d[0] + iv[9] * d[1] + iv[10] * d[2]
+    nrm = jnp.maximum(jnp.sqrt(dnx * dnx + dny * dny + dnz * dnz),
+                      np.float32(1e-30))
+    di = (dnx / nrm, dny / nrm, dnz / nrm)
+    rdi = (_safe_rcp(di[0]), _safe_rcp(di[1]), _safe_rcp(di[2]))
+
+    # per-ray root-box exit cap (local units): nothing can hit beyond the
+    # exit from the instance's root AABB, so rays missing the whole mesh
+    # stop blocking the front-to-back prune (sparse_trace construction)
+    rlo = (msc[31, mi], msc[32, mi], msc[33, mi])
+    rhi = (msc[34, mi], msc[35, mi], msc[36, mi])
+    rhit, tent = _slab_rows(rlo, rhi, oi, rdi,
+                            jnp.full((SUB, LANES), INF))
+    t1 = tuple((rhi[k] - oi[k]) * rdi[k] for k in range(3))
+    t0 = tuple((rlo[k] - oi[k]) * rdi[k] for k in range(3))
+    texi = jnp.minimum(jnp.minimum(jnp.maximum(t0[0], t1[0]),
+                                   jnp.maximum(t0[1], t1[1])),
+                       jnp.maximum(t0[2], t1[2]))
+    bound = jnp.where(rhit, texi * np.float32(1.0001) + np.float32(1e-4),
+                      np.float32(0.0))
+
+    # seed the walk's running best from the CURRENT world winner so
+    # analytic prims (and earlier instances) occlude this mesh's chunks
+    abest[...] = bd_s[...] * nrm
+    wfound[...] = jnp.zeros((SUB, LANES), jnp.float32)
+
+    # fold-orientation (rays-on-sublanes) columns, one per 128-ray
+    # subrow, hoisted out of the walk ((1,128)->(128,1) relayouts)
+    oirc = [[oi[k][r][:, None] for r in range(SUB)] for k in range(3)]
+    dirc = [[di[k][r][:, None] for r in range(SUB)] for k in range(3)]
+
+    cstart = msi[0, mi]
+    nsup = msi[1, mi]
+    sstart = msi[2, mi]
+
+    def prune_now():
+        return jnp.max(jnp.minimum(abest[...], bound))
+
+    def fold_row(blk, e1, e2, r):
+        """[128-ray, 128-tri] Moller-Trumbore fold of subrow r against
+        the chunk in `blk`, with the MXU one-hot winner gather. Folding
+        per SUBROW (not per 1024-ray tile) keeps the front-to-back
+        prune at 128-ray granularity: one stray sky ray in a big tile
+        would otherwise hold `prune` at its root-exit and admit every
+        chunk (measured 8+ folds/tile on primaries, round 5)."""
+        oic = (oirc[0][r], oirc[1][r], oirc[2][r])
+        dic = (dirc[0][r], dirc[1][r], dirc[2][r])
+        Ar = [blk[k:k + 1, :] for k in range(3)]
+        hx = dic[1] * e2[2] - dic[2] * e2[1]        # [128, C]
+        hy = dic[2] * e2[0] - dic[0] * e2[2]
+        hz = dic[0] * e2[1] - dic[1] * e2[0]
+        det = e1[0] * hx + e1[1] * hy + e1[2] * hz
+        invd = 1.0 / det
+        sx = oic[0] - Ar[0]
+        sy = oic[1] - Ar[1]
+        sz = oic[2] - Ar[2]
+        u = (sx * hx + sy * hy + sz * hz) * invd
+        qx = sy * e1[2] - sz * e1[1]
+        qy = sz * e1[0] - sx * e1[2]
+        qz = sx * e1[1] - sy * e1[0]
+        vv = (dic[0] * qx + dic[1] * qy + dic[2] * qz) * invd
+        a = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * invd
+        valid = ((jnp.abs(det) >= EPSILON)
+                 & (u >= 0.0) & (u <= 1.0)
+                 & (vv >= 0.0) & (u + vv <= 1.0)
+                 & (a > EPSILON))
+        a = jnp.where(valid, a, FLT_MAX)
+        cmin = jnp.min(a, axis=1, keepdims=True)    # [128, 1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        firsti = jnp.min(jnp.where(a == cmin, iota, LANES), axis=1,
+                         keepdims=True)
+        onehot = (iota == firsti).astype(jnp.float32)
+        # MXU winner gather: [18, C] x [128, C] contracting C -> [18,
+        # 128]. HIGHEST precision makes the f32 passes exact to ~1 ulp
+        # (the onehot operand is exactly representable); default bf16
+        # passes quantize vertex coordinates (prototyped round 5).
+        attrs = jax.lax.dot_general(
+            blk, onehot, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)     # [18, 128]
+        wa = (attrs[0:1, :], attrs[1:2, :], attrs[2:3, :])
+        wb = (attrs[3:4, :], attrs[4:5, :], attrs[5:6, :])
+        wc = (attrs[6:7, :], attrs[7:8, :], attrs[8:9, :])
+        oi_r = (oi[0][r:r + 1, :], oi[1][r:r + 1, :], oi[2][r:r + 1, :])
+        di_r = (di[0][r:r + 1, :], di[1][r:r + 1, :], di[2][r:r + 1, :])
+        a_w, valid_w = _mt_rows(wa, wb, wc, oi_r, di_r)
+        take = valid_w & (a_w < abest[r:r + 1, :])
+        abest[r:r + 1, :] = jnp.where(take, a_w, abest[r:r + 1, :])
+        wfound[r:r + 1, :] = jnp.where(take, 1.0, wfound[r:r + 1, :])
+        wattr[:, r:r + 1, :] = jnp.where(
+            take[None], attrs[:, None, :], wattr[:, r:r + 1, :])
+
+    def fold_chunk(j, c):
+        """Fold DMA slot j into the winner, one predicated subrow at a
+        time — subrows whose 128 rays all miss the chunk box (or whose
+        bests already beat its entry) skip their fold entirely."""
+        if "fold" in _ABLATE:
+            return
+        blk = slots[j]                              # [18, C]
+        Ar = [blk[k:k + 1, :] for k in range(9)]    # corner rows (1, C)
+        e1 = (Ar[3] - Ar[0], Ar[4] - Ar[1], Ar[5] - Ar[2])
+        e2 = (Ar[6] - Ar[0], Ar[7] - Ar[1], Ar[8] - Ar[2])
+        for r in range(SUB):
+            prune_r = jnp.max(jnp.minimum(abest[r:r + 1, :],
+                                          bound[r:r + 1, :]))
+
+            @pl.when((mrow[j, r] != 0) & (erow[j, r] < prune_r))
+            def _(r=r):
+                fold_row(blk, e1, e2, r)
+
+    def visit_super(chunk0):
+        """Test, DMA and fold one super's TRI_SUPER chunks. chunk0:
+        global pool index of the super's first chunk. Two passes: A
+        tests every chunk box and STARTS all passing DMAs (so they
+        overlap the folds), B waits + folds, re-gating per subrow on
+        the bests tightened by earlier folds."""
+        def test_a(j, _):
+            c = chunk0 + j
+            lo = (cbb[0, c], cbb[1, c], cbb[2, c])
+            hi = (cbb[3, c], cbb[4, c], cbb[5, c])
+            cap = jnp.minimum(abest[...], bound)
+            hit, tmin = _slab_rows(lo, hi, oi, rdi, cap)
+            m = jnp.any(hit)
+            mjar[j] = m.astype(jnp.int32)
+            te = jnp.where(hit, tmin, INF)
+            for r in range(SUB):
+                hr = hit[r:r + 1, :]
+                mrow[j, r] = jnp.any(hr).astype(jnp.int32)
+                erow[j, r] = jnp.min(te[r:r + 1, :])
+
+            @pl.when(m)
+            def _():
+                pltpu.make_async_copy(pool.at[c], slots.at[j],
+                                      sems.at[j]).start()
+            return 0
+
+        def fold_b(j, _):
+            @pl.when(mjar[j] != 0)
+            def _():
+                pltpu.make_async_copy(pool.at[chunk0 + j], slots.at[j],
+                                      sems.at[j]).wait()
+                fold_chunk(j, chunk0 + j)
+            return 0
+
+        jax.lax.fori_loop(0, TRI_SUPER, test_a, 0)
+        jax.lax.fori_loop(0, TRI_SUPER, fold_b, 0)
+
+    if refs["scheduled"]:
+        ordr = refs["ord"]
+        entr = refs["ent"]
+
+        def cond(k):
+            return (k < nsup) & (entr[0, 0, sstart + k] < prune_now())
+
+        def body(k):
+            s = ordr[0, 0, sstart + k]
+            visit_super(cstart + s * TRI_SUPER)
+            return k + 1
+
+        jax.lax.while_loop(cond, body, 0)
+    else:
+        # schedule-free walk (inner refraction rays exist only in-kernel):
+        # Morton order with an in-kernel super slab gate + running-best
+        # prune; refraction lanes are a minority, non-refracting tiles
+        # fail the root test and every super gate
+        def body2(s, _):
+            sc = sstart + s
+            lo = (sbb[0, sc], sbb[1, sc], sbb[2, sc])
+            hi = (sbb[3, sc], sbb[4, sc], sbb[5, sc])
+            cap = jnp.minimum(abest[...], bound)
+            shit, _tmin = _slab_rows(lo, hi, oi, rdi, cap)
+
+            @pl.when(jnp.any(shit))
+            def _():
+                visit_super(cstart + s * TRI_SUPER)
+            return 0
+
+        jax.lax.fori_loop(0, nsup, body2, 0)
+
+    # ---- merge the instance winner into the world-winner scratch ----
+    att = wattr[...]                     # [18, SUB, LANES]
+    wa = (att[0], att[1], att[2])
+    wb = (att[3], att[4], att[5])
+    wc = (att[6], att[7], att[8])
+    aw = abest[...]
+    plh = (oi[0] + aw * di[0], oi[1] + aw * di[1], oi[2] + aw * di[2])
+    pg = (tf[0] * plh[0] + tf[1] * plh[1] + tf[2] * plh[2] + tf[3],
+          tf[4] * plh[0] + tf[5] * plh[1] + tf[6] * plh[2] + tf[7],
+          tf[8] * plh[0] + tf[9] * plh[1] + tf[10] * plh[2] + tf[11])
+    ex, ey, ez = o[0] - pg[0], o[1] - pg[1], o[2] - pg[2]
+    wd = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+    take2 = (wfound[...] > 0.0) & (wd < bd_s[...])
+
+    def cross(p, q):
+        return (p[1] * q[2] - p[2] * q[1],
+                p[2] * q[0] - p[0] * q[2],
+                p[0] * q[1] - p[1] * q[0])
+
+    if flat_face:
+        no = cross((wb[0] - wa[0], wb[1] - wa[1], wb[2] - wa[2]),
+                   (wc[0] - wa[0], wc[1] - wa[1], wc[2] - wa[2]))
+    else:
+        na = (att[9], att[10], att[11])
+        nb = (att[12], att[13], att[14])
+        nc = (att[15], att[16], att[17])
+        PA = (wa[0] - plh[0], wa[1] - plh[1], wa[2] - plh[2])
+        PB = (wb[0] - plh[0], wb[1] - plh[1], wb[2] - plh[2])
+        PC = (wc[0] - plh[0], wc[1] - plh[1], wc[2] - plh[2])
+
+        def clen(p, q):
+            cx, cy, cz = cross(p, q)
+            return jnp.sqrt(cx * cx + cy * cy + cz * cz)
+
+        tA = clen(PB, PC)
+        tB = clen(PA, PC)
+        tC = clen(PA, PB)
+        no = (na[0] * tA + nb[0] * tB + nc[0] * tC,
+              na[1] * tA + nb[1] * tB + nc[1] * tC,
+              na[2] * tA + nb[2] * tB + nc[2] * tC)
+    pn = (plh[0] + no[0], plh[1] + no[1], plh[2] + no[2])
+    nmx = tf[0] * pn[0] + tf[1] * pn[1] + tf[2] * pn[2] + tf[3] - pg[0]
+    nmy = tf[4] * pn[0] + tf[5] * pn[1] + tf[6] * pn[2] + tf[7] - pg[1]
+    nmz = tf[8] * pn[0] + tf[9] * pn[1] + tf[10] * pn[2] + tf[11] - pg[2]
+    nl = jnp.maximum(jnp.sqrt(nmx * nmx + nmy * nmy + nmz * nmz),
+                     np.float32(1e-30))
+
+    bd_s[...] = jnp.where(take2, wd, bd_s[...])
+    nx_s[...] = jnp.where(take2, nmx / nl, nx_s[...])
+    ny_s[...] = jnp.where(take2, nmy / nl, ny_s[...])
+    nz_s[...] = jnp.where(take2, nmz / nl, nz_s[...])
+    px_s[...] = jnp.where(take2, pg[0], px_s[...])
+    py_s[...] = jnp.where(take2, pg[1], py_s[...])
+    pz_s[...] = jnp.where(take2, pg[2], pz_s[...])
+    sh_s[...] = jnp.where(take2, msc[24, mi], sh_s[...])
+    ro_s[...] = jnp.where(take2, msc[25, mi], ro_s[...])
+    em_s[...] = jnp.where(take2, msc[26, mi], em_s[...])
+    cr_s[...] = jnp.where(take2, msc[27, mi], cr_s[...])
+    cg_s[...] = jnp.where(take2, msc[28, mi], cg_s[...])
+    cb_s[...] = jnp.where(take2, msc[29, mi], cb_s[...])
+    ca_s[...] = jnp.where(take2, msc[30, mi], ca_s[...])
+
+
+# --------------------------------------------------------------------------
+# the kernel
+# --------------------------------------------------------------------------
+
+def _fused_kernel(groups, n_mesh, has_transparent, flat_face,
+                  stf_ref, sti_ref, fpar_ref, tab_ref, msc_ref, msi_ref,
+                  cbb_ref, sbb_ref, ord_ref, ent_ref, pool_ref,
+                  outf_ref, outu_ref,
+                  slots, sems, mjar, mrow, erow, abest, wfound, wattr,
+                  *scr):
+    o = (stf_ref[0], stf_ref[1], stf_ref[2])
+    d = (stf_ref[3], stf_ref[4], stf_ref[5])
+    attenu = (stf_ref[6], stf_ref[7], stf_ref[8])
+    total = (stf_ref[9], stf_ref[10], stf_ref[11])
+    result = (stf_ref[12], stf_ref[13], stf_ref[14])
+    done_i = sti_ref[0].astype(jnp.int32)
+    state = (sti_ref[1], sti_ref[2], sti_ref[3])
+    ior = fpar_ref[0, 0]
+
+    refs = dict(msc=msc_ref, msi=msi_ref, cbb=cbb_ref, sbb=sbb_ref,
+                ord=ord_ref, ent=ent_ref, pool=pool_ref, slots=slots,
+                sems=sems, mjar=mjar, mrow=mrow, erow=erow, abest=abest,
+                wfound=wfound, wattr=wattr, scr=scr, scheduled=True)
+    calls = []
+
+    def trace_fn(o, d, n_prev, p_prev):
+        refs2 = dict(refs, scheduled=not calls)
+        calls.append(1)
+        (bd_s, nx_s, ny_s, nz_s, px_s, py_s, pz_s,
+         sh_s, ro_s, em_s, cr_s, cg_s, cb_s, ca_s) = scr
+        if groups:
+            _trace_fold(groups, tab_ref, sbb_ref, ord_ref, o, d,
+                        n_prev, p_prev, scr, cull=False)
+        else:
+            z = jnp.zeros_like(o[0])
+            bd_s[...] = z + FLT_MAX
+            nx_s[...] = n_prev[0]
+            ny_s[...] = n_prev[1]
+            nz_s[...] = n_prev[2]
+            px_s[...] = p_prev[0]
+            py_s[...] = p_prev[1]
+            pz_s[...] = p_prev[2]
+            sh_s[...] = z
+            ro_s[...] = z
+            em_s[...] = z
+            cr_s[...] = z
+            cg_s[...] = z
+            cb_s[...] = z
+            ca_s[...] = z + 1.0
+
+        def inst(mi, _):
+            _mesh_instance(flat_face, mi, o, d, refs2)
+            return 0
+
+        if "mesh" not in _ABLATE:
+            jax.lax.fori_loop(0, n_mesh, inst, 0)
+        bd = bd_s[...]
+        return (bd < FLT_MAX,
+                (nx_s[...], ny_s[...], nz_s[...]),
+                (px_s[...], py_s[...], pz_s[...]),
+                sh_s[...], ro_s[...], em_s[...],
+                (cr_s[...], cg_s[...], cb_s[...]), ca_s[...])
+
+    o, d, attenu, total, result, done_i, state = _bounce_step(
+        trace_fn, has_transparent, ior,
+        o, d, attenu, total, result, done_i, state)
+
+    for k, v in enumerate((*o, *d, *attenu, *total, *result)):
+        outf_ref[k] = v
+    outu_ref[0] = done_i.astype(U32)
+    outu_ref[1] = state[0]
+    outu_ref[2] = state[1]
+    outu_ref[3] = state[2]
+
+
+# --------------------------------------------------------------------------
+# host wrappers
+# --------------------------------------------------------------------------
+
+def _mesh_tables(scene):
+    """SMEM tables for the mesh walk (device-side, cheap under jit).
+
+    msc [37, n_mesh] f32: rows 0-11 inverse affine, 12-23 mesh_transfo
+    affine, 24 shin, 25 rough, 26 emis, 27-29 rgb, 30 alpha, 31-36 root
+    AABB (mesh-local, union of real chunk boxes).
+    msi [4, n_mesh] i32 (static): chunk_start, n_supers, super_start, 0.
+    cbb/sbb: concatenated per-instance chunk/super AABBs [6, *]."""
+    cols = []
+    for prim_index, cbb_i in zip(scene.mesh_prim_index,
+                                 scene.mesh_chunk_bb):
+        inv = scene.inv_transfo[prim_index][:3, :4].reshape(12)
+        mtr = scene.mesh_transfo[prim_index][:3, :4].reshape(12)
+        m = scene.mat[prim_index]
+        c = scene.color[prim_index]
+        real = cbb_i[0] <= cbb_i[3]
+        rlo = jnp.min(jnp.where(real[None, :], cbb_i[0:3], INF), axis=1)
+        rhi = jnp.max(jnp.where(real[None, :], cbb_i[3:6], -INF), axis=1)
+        cols.append(jnp.concatenate(
+            [inv, mtr, m[0:3], c[0:3], c[3:4], rlo, rhi]))
+    msc = jnp.stack(cols, axis=1)                      # [37, n_mesh]
+
+    msi_np = np.zeros((4, len(scene.mesh_prim_index)), np.int32)
+    cstart = sstart = 0
+    for i, cbb_i in enumerate(scene.mesh_chunk_bb):
+        nkc = int(cbb_i.shape[1])
+        msi_np[0, i] = cstart
+        msi_np[1, i] = nkc // TRI_SUPER
+        msi_np[2, i] = sstart
+        cstart += nkc
+        sstart += nkc // TRI_SUPER
+    cbb = jnp.concatenate(scene.mesh_chunk_bb, axis=1)
+    sbb = jnp.concatenate(scene.mesh_super_bb, axis=1)
+    return msc, jnp.asarray(msi_np), cbb, sbb
+
+
+def _schedules(scene, o_rows, d_rows):
+    """Per-(tile, instance) nearest-first super schedules for the outer
+    trace, computed XLA-side each bounce from the (sorted) wavefront:
+    transform the rays to each instance's local frame, bound every
+    128-ray tile bundle's entry distance into every super box
+    (ops/worklist.bundle_box_entry), sort ascending. Margins mirror
+    ops/sparse_trace (round-to-nearest slack on the conservative
+    bound). Returns (ord [nt,1,Stot] i32, ent [nt,1,Stot] f32)."""
+    m = o_rows.shape[1]
+    nt = m // TILE
+    ords, ents = [], []
+    for prim_index, sbb_i in zip(scene.mesh_prim_index,
+                                 scene.mesh_super_bb):
+        # scalar-coefficient broadcasts, NOT a [3,3]@[3,M] matmul (the
+        # K=3 MXU lowering measured ~50 ms per call at 480K rays)
+        inv = scene.inv_transfo[prim_index]
+        o = o_rows
+        d = d_rows
+        oi = jnp.stack([
+            inv[0, 0] * o[0] + inv[0, 1] * o[1] + inv[0, 2] * o[2] + inv[0, 3],
+            inv[1, 0] * o[0] + inv[1, 1] * o[1] + inv[1, 2] * o[2] + inv[1, 3],
+            inv[2, 0] * o[0] + inv[2, 1] * o[1] + inv[2, 2] * o[2] + inv[2, 3]])
+        din = jnp.stack([
+            inv[0, 0] * d[0] + inv[0, 1] * d[1] + inv[0, 2] * d[2],
+            inv[1, 0] * d[0] + inv[1, 1] * d[1] + inv[1, 2] * d[2],
+            inv[2, 0] * d[0] + inv[2, 1] * d[1] + inv[2, 2] * d[2]])
+        nrm = jnp.maximum(jnp.sqrt(jnp.sum(din * din, axis=0,
+                                           keepdims=True)),
+                          np.float32(1e-30))
+        di = din / nrm
+        bundles = tile_bundles(oi, di, TILE)
+        ent = bundle_box_entry(bundles, sbb_i)          # [nt, S_i]
+        ent = jnp.where(ent >= INF, INF,
+                        ent * np.float32(1.0 - 1e-4) - np.float32(1e-4))
+        s = ent.shape[1]
+        ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :],
+                               (nt, s))
+        ent_s, order = jax.lax.sort((ent, ids), dimension=1, num_keys=1)
+        ords.append(order)
+        ents.append(ent_s)
+    ordr = jnp.concatenate(ords, axis=1)[:, None, :]
+    entr = jnp.concatenate(ents, axis=1)[:, None, :]
+    return ordr, entr
+
+
+def _fused_call(stf, sti, fpar, tab, msc, msi, cbb, sbb, ordr, entr, pool,
+                groups, n_mesh, has_transparent, flat_face, interpret):
+    m = stf.shape[1]
+    nt = m // TILE
+    stf = stf.reshape(SF, m // LANES, LANES)
+    sti = sti.reshape(SU, m // LANES, LANES)
+    stf_spec = pl.BlockSpec((SF, SUB, LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    sti_spec = pl.BlockSpec((SU, SUB, LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM)
+    sched_spec = lambda arr: pl.BlockSpec(
+        (1, 1, arr.shape[2]), lambda i: (i, 0, 0),
+        memory_space=pltpu.SMEM)
+    kernel = functools.partial(_fused_kernel, groups, n_mesh,
+                               has_transparent, flat_face)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[stf_spec, sti_spec, smem((1, 1)), smem(tab.shape),
+                  smem(msc.shape), smem(msi.shape), smem(cbb.shape),
+                  smem(sbb.shape), sched_spec(ordr), sched_spec(entr),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[stf_spec, sti_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((SF, m // LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((SU, m // LANES, LANES), jnp.uint32)],
+        scratch_shapes=[
+            pltpu.VMEM((NSLOT, 18, LANES), jnp.float32),   # chunk slots
+            pltpu.SemaphoreType.DMA((NSLOT,)),
+            pltpu.SMEM((NSLOT,), jnp.int32),               # chunk masks
+            pltpu.SMEM((NSLOT, SUB), jnp.int32),           # subrow masks
+            pltpu.SMEM((NSLOT, SUB), jnp.float32),         # subrow entries
+            pltpu.VMEM((SUB, LANES), jnp.float32),         # abest
+            pltpu.VMEM((SUB, LANES), jnp.float32),         # wfound
+            pltpu.VMEM((18, SUB, LANES), jnp.float32),     # wattr
+        ] + [pltpu.VMEM((SUB, LANES), jnp.float32)] * 14,  # winner scr
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )
+    outf, outu = call(stf, sti, fpar, tab, msc, msi, cbb, sbb, ordr,
+                      entr, pool)
+    return outf.reshape(SF, m), outu.reshape(SU, m)
+
+
+def raytrace_fused(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
+                   refract_ind, date=0.0, interpret: bool = False,
+                   sort_rays: bool = True):
+    """Per-bounce fused-kernel twin of models.montecarlo.raytrace for
+    mesh scenes. O: [3] camera origin, D: [N,3] ray dirs (normalized
+    inside), screen_tc: [N,2]. Returns rgb [N,3]. Bit-identical RNG
+    schedule to the SoA integrator; float results match to a few ulp
+    plus the winner-extraction caveats in the module docstring."""
+    from ..ops.sort_rays import ray_sort_key, PARK_Z
+
+    n = D.shape[0]
+    m = ((n + TILE - 1) // TILE) * TILE
+
+    dn = D / jnp.linalg.norm(D, axis=-1, keepdims=True)
+    dx = jnp.zeros((m,), jnp.float32).at[:n].set(dn[:, 0])
+    dy = jnp.zeros((m,), jnp.float32).at[:n].set(dn[:, 1])
+    dz = jnp.ones((m,), jnp.float32).at[:n].set(dn[:, 2])
+    u = jnp.zeros((m,), jnp.float32).at[:n].set(screen_tc[:, 0])
+    v = jnp.zeros((m,), jnp.float32).at[:n].set(screen_tc[:, 1])
+    o3 = jnp.broadcast_to(jnp.asarray(O, jnp.float32), (3,))
+    s0, s1, s2 = _rng.srand_soa(u, v, pass_index, date)
+
+    z = jnp.zeros((m,), jnp.float32)
+    stf = jnp.stack([
+        z + o3[0], z + o3[1], z + o3[2],          # o
+        dx, dy, dz,                               # d
+        z + 0.8, z + 0.8, z + 0.8,                # attenu (:106-107)
+        z, z, z,                                  # total
+        z, z, z,                                  # result
+    ])
+    sti = jnp.stack([jnp.zeros((m,), U32), s0, s1, s2])
+    lane = jnp.arange(m, dtype=jnp.int32)
+
+    groups, _total = _mega_meta(scene)
+    tab = _mega_table(scene)
+    msc, msi, cbb, sbb = _mesh_tables(scene)
+    fpar = jnp.asarray(refract_ind, jnp.float32).reshape(1, 1)
+    n_mesh = len(scene.mesh_prim_index)
+    sort_lo = jnp.min(scene.prim_bb_min, axis=0)
+    sort_hi = jnp.max(scene.prim_bb_max, axis=0)
+
+    def bounce_body(_i, carry):
+        stf, sti, lane = carry
+        done = sti[0] != 0
+        # park terminated lanes outside every box pointing away so their
+        # tiles fail the root tests (ops/sort_rays.PARK_Z)
+        park = jnp.stack([z, z, z + PARK_Z, z, z, z + 1.0])
+        stf = jnp.concatenate(
+            [jnp.where(done[None, :], park, stf[0:6]), stf[6:]], axis=0)
+        if sort_rays:
+            key = ray_sort_key((stf[0], stf[1], stf[2]),
+                               (stf[3], stf[4], stf[5]), done,
+                               sort_lo, sort_hi)
+            perm = jnp.argsort(key)
+            stf = jnp.take(stf, perm, axis=1)
+            sti = jnp.take(sti, perm, axis=1)
+            lane = jnp.take(lane, perm)
+        ordr, entr = _schedules(scene, stf[0:3], stf[3:6])
+        stf, sti = _fused_call(
+            stf, sti, fpar, tab, msc, msi, cbb, sbb, ordr, entr,
+            scene.tri_chunks, groups, n_mesh, scene.has_transparent,
+            scene.flat_face, interpret)
+        return stf, sti, lane
+
+    stf, sti, lane = jax.lax.fori_loop(0, nb_bounces, bounce_body,
+                                       (stf, sti, lane))
+    # bounce-cap exhaustion returns black (:178)
+    done = sti[0] != 0
+    rgb_rows = jnp.where(done[None, :], stf[12:15], 0.0)
+    out = jnp.zeros((3, m), jnp.float32).at[:, lane].set(rgb_rows)
+    return out.T[:n]

@@ -402,6 +402,132 @@ def _trace_fold(groups, tab, sbb, ordr, o, d, n_prev, p_prev, scr, cull):
 
 
 # --------------------------------------------------------------------------
+# the shared per-bounce shading/material/RNG step
+# --------------------------------------------------------------------------
+
+def _bounce_step(trace_fn, has_transparent, ior,
+                 o, d, attenu, total, result, done_i, state):
+    """One bounce of tp/montecarlo.frag:109-176 on block-SoA state,
+    shared by the whole-path megakernel and the fused per-bounce kernel
+    (models/bounce_kernel.py). trace_fn(o, d, n_prev, p_prev) returns
+    (is_hit, N, P, shin, rough, emis, col3, alpha) with GLSL
+    stale-(N, P)-on-miss semantics; it is called a second time for the
+    refraction march-through on transparent scenes. RNG draw schedule
+    (2 + 1 + 2 masked draws) is bit-identical to models/montecarlo.py."""
+    z = jnp.zeros_like(d[0])
+    one = jnp.ones_like(d[0])
+    unit_z = (z, z, one)
+    done = done_i != 0
+    is_hit, N, P, shin, rough, emis, col3, alpha = trace_fn(
+        o, d, unit_z, (o[0] + d[0], o[1] + d[1], o[2] + d[2]))
+
+    active = ~done
+    miss_now = active & ~is_hit
+    live = active & is_hit
+
+    # sky fallback (:117-119)
+    k = jnp.maximum(0.0, d[2])
+    sky = tuple((1.0 - k) * lo + k * hi
+                for lo, hi in zip(SKY_LOW, SKY_HIGH))
+    result = _vwhere(
+        miss_now,
+        (total[0] + attenu[0] * sky[0], total[1] + attenu[1] * sky[1],
+         total[2] + attenu[2] * sky[2]),
+        result)
+    done = done | miss_now
+
+    # draws 1-2: the diffuse sample, every hit lane (:127)
+    ray, state = _random_ray(state, N, 1.0 - rough, live)
+
+    # Schlick from the IOR slider (:129)
+    r0 = (ior - 1.0) / (ior + 1.0)
+    r0 = r0 * r0
+    xs = 1.0 - _vdot(N, d)
+    x5 = xs * xs * xs * xs * xs
+    rs = jnp.clip(r0 + (1.0 - r0) * x5, 0.0, 1.0)
+
+    R = _reflect((-ray[0], -ray[1], -ray[2]), N)        # (:131)
+    E = _vnorm((o[0] - P[0], o[1] - P[1], o[2] - P[2]), eps=1e-30)
+    se = (1.0 - rough) * 100.0 + rough * 2.0            # (:133)
+    spec = jnp.power(jnp.maximum(0.0, _vdot(E, R)), se)
+
+    # ambient leak + emissive gather (:136)
+    emit = emis * (1.0 - shin) * alpha
+    total = _vwhere(
+        live,
+        (total[0] + col3[0] * 0.1 + attenu[0] * emit,
+         total[1] + col3[1] * 0.1 + attenu[1] * emit,
+         total[2] + col3[2] * 0.1 + attenu[2] * emit),
+        total)
+
+    # emissive termination (:139,174-175)
+    emissive = emis > 0.5
+    result = _vwhere(live & emissive, total, result)
+    done = done | (live & emissive)
+    cont = live & ~emissive
+
+    refl_case = (shin > 0.0) & (alpha == 1.0)
+    refr_case = (alpha < 1.0) & (shin == 0.0)
+    mixed_case = (alpha < 1.0) & (shin > 0.0)
+
+    # draw 3: the mixed-case coin (:155)
+    coin, state = _draw(state, cont & mixed_case)
+    choose_refl = refl_case | (mixed_case & (coin > 0.5))
+    refr_lane = cont & (refr_case | (mixed_case & ~(coin > 0.5)))
+
+    # draws 4-5: the reflect-branch sample (:143,158)
+    rray, state = _random_ray(state, _reflect(d, N),
+                              1.0 - shin * rough, cont & choose_refl)
+
+    if has_transparent:
+        # refraction march-through (:146-153); mixed keeps un-refracted D
+        d_in = _vwhere(cont & refr_case, _refract_glsl(d, N, ior), d)
+        d_in = _vwhere(refr_lane, d_in, unit_z)
+        # park non-refracting lanes far above every prim AABB: their
+        # inner-fold results are discarded below, and with culling on
+        # a tile whose lanes all parked fails every super/prim box
+        # test — the second fold costs ~nothing unless rays actually
+        # refract (mirrors ops/sort_rays.PARK_Z in the wavefront)
+        o_in = _vwhere(refr_lane,
+                       (P[0] - BIAS * N[0], P[1] - BIAS * N[1],
+                        P[2] - BIAS * N[2]),
+                       (o[0], o[1], z + np.float32(2.0e8)))
+        _, N2r, P2r, *_unused = trace_fn(o_in, d_in, N, P)
+        N2 = _vwhere(refr_lane, N2r, unit_z)
+        P2 = _vwhere(refr_lane, P2r, P)
+        d_exit = _refract_glsl(d_in, (-N2[0], -N2[1], -N2[2]), 1.0 / ior)
+    else:
+        N2, P2 = N, P
+        d_exit = unit_z
+
+    # attenuation updates (:142,147,161,170)
+    base = (col3[0] * attenu[0], col3[1] * attenu[1],
+            col3[2] * attenu[2])
+    sm = tuple((1.0 - shin) * a_ + shin * c_
+               for a_, c_ in zip(attenu, col3))
+    arefl = tuple(b_ + (a_ * (alpha * rs * spec)) * m_
+                  for b_, a_, m_ in zip(base, attenu, sm))
+    arefr = tuple(b_ + (a_ * ((1.0 - alpha) * (1.0 - rs) * spec)) * m_
+                  for b_, a_, m_ in zip(base, attenu, sm))
+    adiff = tuple(b_ + (a_ * spec) * m_
+                  for b_, a_, m_ in zip(base, attenu, sm))
+
+    new_attenu = _vwhere(refr_lane, arefr,
+                         _vwhere(choose_refl, arefl, adiff))
+    new_o = _vwhere(
+        refr_lane,
+        (P2[0] + BIAS * N2[0], P2[1] + BIAS * N2[1],
+         P2[2] + BIAS * N2[2]),
+        (P[0] + BIAS * N[0], P[1] + BIAS * N[1], P[2] + BIAS * N[2]))
+    new_d = _vwhere(refr_lane, d_exit, _vwhere(choose_refl, rray, ray))
+
+    o = _vwhere(cont, new_o, o)
+    d = _vwhere(cont, new_d, d)
+    attenu = _vwhere(cont, new_attenu, attenu)
+    return o, d, attenu, total, result, done.astype(jnp.int32), state
+
+
+# --------------------------------------------------------------------------
 # the megakernel
 # --------------------------------------------------------------------------
 
@@ -411,8 +537,6 @@ def _mega_kernel(groups, nb_bounces, has_transparent, cull,
                  r_ref, g_ref, b_ref, *scr):
     d = (dx_ref[...], dy_ref[...], dz_ref[...])
     z = jnp.zeros_like(d[0])
-    one = jnp.ones_like(d[0])
-    unit_z = (z, z, one)
     o = (z + fpar_ref[0, 0], z + fpar_ref[0, 1], z + fpar_ref[0, 2])
     ior = fpar_ref[0, 3]
 
@@ -429,118 +553,13 @@ def _mega_kernel(groups, nb_bounces, has_transparent, cull,
     # so `done` rides the carry as int32 and is compared at use sites.
     done_i = jnp.zeros_like(d[0], jnp.int32)
 
+    def trace_fn(o, d, n_prev, p_prev):
+        return _trace_fold(groups, tab_ref, sbb_ref, ord_ref, o, d,
+                           n_prev, p_prev, scr, cull)
+
     def bounce(o, d, attenu, total, result, done_i, state):
-        done = done_i != 0
-        is_hit, N, P, shin, rough, emis, col3, alpha = _trace_fold(
-            groups, tab_ref, sbb_ref, ord_ref, o, d, unit_z,
-            (o[0] + d[0], o[1] + d[1], o[2] + d[2]), scr, cull)
-
-        active = ~done
-        miss_now = active & ~is_hit
-        live = active & is_hit
-
-        # sky fallback (:117-119)
-        k = jnp.maximum(0.0, d[2])
-        sky = tuple((1.0 - k) * lo + k * hi
-                    for lo, hi in zip(SKY_LOW, SKY_HIGH))
-        result = _vwhere(
-            miss_now,
-            (total[0] + attenu[0] * sky[0], total[1] + attenu[1] * sky[1],
-             total[2] + attenu[2] * sky[2]),
-            result)
-        done = done | miss_now
-
-        # draws 1-2: the diffuse sample, every hit lane (:127)
-        ray, state = _random_ray(state, N, 1.0 - rough, live)
-
-        # Schlick from the IOR slider (:129)
-        r0 = (ior - 1.0) / (ior + 1.0)
-        r0 = r0 * r0
-        xs = 1.0 - _vdot(N, d)
-        x5 = xs * xs * xs * xs * xs
-        rs = jnp.clip(r0 + (1.0 - r0) * x5, 0.0, 1.0)
-
-        R = _reflect((-ray[0], -ray[1], -ray[2]), N)        # (:131)
-        E = _vnorm((o[0] - P[0], o[1] - P[1], o[2] - P[2]), eps=1e-30)
-        se = (1.0 - rough) * 100.0 + rough * 2.0            # (:133)
-        spec = jnp.power(jnp.maximum(0.0, _vdot(E, R)), se)
-
-        # ambient leak + emissive gather (:136)
-        emit = emis * (1.0 - shin) * alpha
-        total = _vwhere(
-            live,
-            (total[0] + col3[0] * 0.1 + attenu[0] * emit,
-             total[1] + col3[1] * 0.1 + attenu[1] * emit,
-             total[2] + col3[2] * 0.1 + attenu[2] * emit),
-            total)
-
-        # emissive termination (:139,174-175)
-        emissive = emis > 0.5
-        result = _vwhere(live & emissive, total, result)
-        done = done | (live & emissive)
-        cont = live & ~emissive
-
-        refl_case = (shin > 0.0) & (alpha == 1.0)
-        refr_case = (alpha < 1.0) & (shin == 0.0)
-        mixed_case = (alpha < 1.0) & (shin > 0.0)
-
-        # draw 3: the mixed-case coin (:155)
-        coin, state = _draw(state, cont & mixed_case)
-        choose_refl = refl_case | (mixed_case & (coin > 0.5))
-        refr_lane = cont & (refr_case | (mixed_case & ~(coin > 0.5)))
-
-        # draws 4-5: the reflect-branch sample (:143,158)
-        rray, state = _random_ray(state, _reflect(d, N),
-                                  1.0 - shin * rough, cont & choose_refl)
-
-        if has_transparent:
-            # refraction march-through (:146-153); mixed keeps un-refracted D
-            d_in = _vwhere(cont & refr_case, _refract_glsl(d, N, ior), d)
-            d_in = _vwhere(refr_lane, d_in, unit_z)
-            # park non-refracting lanes far above every prim AABB: their
-            # inner-fold results are discarded below, and with culling on
-            # a tile whose lanes all parked fails every super/prim box
-            # test — the second fold costs ~nothing unless rays actually
-            # refract (mirrors ops/sort_rays.PARK_Z in the wavefront)
-            o_in = _vwhere(refr_lane,
-                           (P[0] - BIAS * N[0], P[1] - BIAS * N[1],
-                            P[2] - BIAS * N[2]),
-                           (o[0], o[1], z + np.float32(2.0e8)))
-            _, N2r, P2r, *_unused = _trace_fold(
-                groups, tab_ref, sbb_ref, ord_ref, o_in, d_in, N, P,
-                scr, cull)
-            N2 = _vwhere(refr_lane, N2r, unit_z)
-            P2 = _vwhere(refr_lane, P2r, P)
-            d_exit = _refract_glsl(d_in, (-N2[0], -N2[1], -N2[2]), 1.0 / ior)
-        else:
-            N2, P2 = N, P
-            d_exit = unit_z
-
-        # attenuation updates (:142,147,161,170)
-        base = (col3[0] * attenu[0], col3[1] * attenu[1],
-                col3[2] * attenu[2])
-        sm = tuple((1.0 - shin) * a_ + shin * c_
-                   for a_, c_ in zip(attenu, col3))
-        arefl = tuple(b_ + (a_ * (alpha * rs * spec)) * m_
-                      for b_, a_, m_ in zip(base, attenu, sm))
-        arefr = tuple(b_ + (a_ * ((1.0 - alpha) * (1.0 - rs) * spec)) * m_
-                      for b_, a_, m_ in zip(base, attenu, sm))
-        adiff = tuple(b_ + (a_ * spec) * m_
-                      for b_, a_, m_ in zip(base, attenu, sm))
-
-        new_attenu = _vwhere(refr_lane, arefr,
-                             _vwhere(choose_refl, arefl, adiff))
-        new_o = _vwhere(
-            refr_lane,
-            (P2[0] + BIAS * N2[0], P2[1] + BIAS * N2[1],
-             P2[2] + BIAS * N2[2]),
-            (P[0] + BIAS * N[0], P[1] + BIAS * N[1], P[2] + BIAS * N[2]))
-        new_d = _vwhere(refr_lane, d_exit, _vwhere(choose_refl, rray, ray))
-
-        o = _vwhere(cont, new_o, o)
-        d = _vwhere(cont, new_d, d)
-        attenu = _vwhere(cont, new_attenu, attenu)
-        return o, d, attenu, total, result, done.astype(jnp.int32), state
+        return _bounce_step(trace_fn, has_transparent, ior,
+                            o, d, attenu, total, result, done_i, state)
 
     # lax.fori_loop (not a static unroll): the body is bounce-invariant,
     # and program size drives the Mosaic compile time of this kernel

@@ -281,6 +281,7 @@ def raytrace(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
              refract_ind, date=0.0, detach_sampling: bool = False,
              use_pallas: bool = False, pallas_interpret: bool = False,
              use_megakernel: bool | None = None,
+             use_fused: bool | None = None,
              cull_chunks: bool | None = None,
              nondiff_trace: bool | None = None,
              sort_rays: bool | None = None):
@@ -307,6 +308,17 @@ def raytrace(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
     if use_megakernel:
         from .megakernel import raytrace_mega
         return raytrace_mega(
+            scene, O, D, screen_tc, pass_index, nb_bounces=nb_bounces,
+            refract_ind=refract_ind, date=date, interpret=pallas_interpret)
+    if use_fused is None:
+        from .bounce_kernel import fused_eligible
+        use_fused = (use_pallas and not detach_sampling
+                     and fused_eligible(scene))
+    if use_fused:
+        # mesh scenes: the fused per-bounce kernel (trace + shade +
+        # sample in one Pallas call per bounce, models/bounce_kernel.py)
+        from .bounce_kernel import raytrace_fused
+        return raytrace_fused(
             scene, O, D, screen_tc, pass_index, nb_bounces=nb_bounces,
             refract_ind=refract_ind, date=date, interpret=pallas_interpret)
     if sort_rays is None:

@@ -154,15 +154,21 @@ class Renderer:
         levels = []
         if config.use_pallas:
             if config.use_megakernel is not False:
-                levels.append(("pallas-megakernel(auto)",
-                               dict(use_pallas=True, use_megakernel=None)))
+                # auto: whole-path megakernel (analytic) or fused
+                # per-bounce kernel (meshes) — models/montecarlo.raytrace
+                levels.append(("pallas-fused(auto)",
+                               dict(use_pallas=True, use_megakernel=None,
+                                    use_fused=None)))
             levels.append(("pallas-trace",
-                           dict(use_pallas=True, use_megakernel=False)))
+                           dict(use_pallas=True, use_megakernel=False,
+                                use_fused=False)))
         levels.append(("dense-xla",
-                       dict(use_pallas=False, use_megakernel=False)))
+                       dict(use_pallas=False, use_megakernel=False,
+                            use_fused=False)))
         if config.use_megakernel:
             levels.insert(0, ("pallas-megakernel(forced)",
-                              dict(use_pallas=True, use_megakernel=True)))
+                              dict(use_pallas=True, use_megakernel=True,
+                                   use_fused=False)))
         self._levels = tuple(levels)
         self._level = 0
         self._pass_fn = self._build_pass_fn(1)

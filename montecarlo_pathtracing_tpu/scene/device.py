@@ -110,6 +110,13 @@ class DeviceScene:
     # adjacent triangles) — the inner level: a ray tile that misses a
     # super skips all 16 leaf box tests and bodies
     mesh_super_bb: Tuple[jnp.ndarray, ...]
+    # chunk-major triangle pool for the fused per-bounce kernel
+    # (models/bounce_kernel.py): one [18, 128] block per 128-triangle
+    # kernel chunk (rows 0-8 corner components ax ay az bx .. cz, rows
+    # 9-17 vertex-normal components), concatenated across instances at
+    # each instance's nkc_pad chunk count (= mesh_chunk_bb[i].shape[1]).
+    # Lives in HBM; the kernel DMAs one block per visited chunk.
+    tri_chunks: jnp.ndarray     # [C_total, 18, 128]
     # per-prim world AABBs (prim_bb x1.005 padding, scene.cpp:18-42) —
     # the megakernel's per-prim frontier culling reads these
     prim_bb_min: jnp.ndarray    # [N,3]
@@ -218,6 +225,7 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
     mesh_prim_index, mesh_tri_offset, mesh_tri_padded = [], [], []
     va_l, vb_l, vc_l, na_l, nb_l, nc_l = [], [], [], [], [], []
     mesh_cbb, mesh_sbb = [], []
+    tri_chunks_l = []
     offset = 0
     for i, p in enumerate(scene.prims):
         if p.type != CODE_MESH:
@@ -279,6 +287,14 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
         mesh_tri_padded.append(pad)
         mesh_cbb.append(jnp.asarray(cbb))
         mesh_sbb.append(jnp.asarray(sbb))
+        # chunk-major [nkc_pad, 18, 128] block pool for the fused
+        # bounce kernel (zeros = degenerate triangles that never hit)
+        tri18 = np.zeros((nkc_pad * kchunk, 18), F32)
+        tri18[:ntris] = np.concatenate(
+            [va[:ntris], vb[:ntris], vc[:ntris],
+             na[:ntris], nb_[:ntris], nc[:ntris]], axis=1)
+        tri_chunks_l.append(
+            tri18.reshape(nkc_pad, kchunk, 18).transpose(0, 2, 1))
         va_l.append(va); vb_l.append(vb); vc_l.append(vc)
         na_l.append(na); nb_l.append(nb_); nc_l.append(nc)
         offset += pad
@@ -316,6 +332,8 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
         tri_norm_rows=rows9(na_l, nb_l, nc_l),
         mesh_chunk_bb=tuple(mesh_cbb),
         mesh_super_bb=tuple(mesh_sbb),
+        tri_chunks=(jnp.asarray(np.concatenate(tri_chunks_l, axis=0))
+                    if tri_chunks_l else jnp.zeros((0, 18, 128), jnp.float32)),
         prim_bb_min=jnp.asarray(bbmin.astype(F32)),
         prim_bb_max=jnp.asarray(bbmax.astype(F32)),
         group_codes=tuple(group_codes),
