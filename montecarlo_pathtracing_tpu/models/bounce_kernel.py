@@ -153,6 +153,8 @@ def _mesh_instance(flat_face, mi, o, d, refs):
     slots = refs["slots"]
     sems = refs["sems"]
     mjar = refs["mjar"]
+    ejar = refs["ejar"]
+    ord16 = refs["ord16"]
     mrow = refs["mrow"]
     erow = refs["erow"]
     abest = refs["abest"]
@@ -296,6 +298,8 @@ def _mesh_instance(flat_face, mi, o, d, refs):
             m = jnp.any(hit)
             mjar[j] = m.astype(jnp.int32)
             te = jnp.where(hit, tmin, INF)
+            ejar[j] = jnp.min(te)
+            ord16[j] = j
             for r in range(SUB):
                 hr = hit[r:r + 1, :]
                 mrow[j, r] = jnp.any(hr).astype(jnp.int32)
@@ -307,7 +311,24 @@ def _mesh_instance(flat_face, mi, o, d, refs):
                                       sems.at[j]).start()
             return 0
 
-        def fold_b(j, _):
+        def sort16(k, _):
+            """Selection step k of the front-to-back chunk order: fold
+            near chunks first so their hits tighten the per-subrow
+            prune before far chunks are re-gated — the within-super
+            half of the reference's front-to-back BVH walk (the
+            schedule already orders the supers)."""
+            def scan(l, bi):
+                return jnp.where(ejar[ord16[l]] < ejar[ord16[bi]], l, bi)
+
+            bi = jax.lax.fori_loop(k + 1, TRI_SUPER, scan, k)
+            jk = ord16[k]
+            ord16[k] = ord16[bi]
+            ord16[bi] = jk
+            return 0
+
+        def fold_b(k, _):
+            j = ord16[k]
+
             @pl.when(mjar[j] != 0)
             def _():
                 pltpu.make_async_copy(pool.at[chunk0 + j], slots.at[j],
@@ -316,6 +337,7 @@ def _mesh_instance(flat_face, mi, o, d, refs):
             return 0
 
         jax.lax.fori_loop(0, TRI_SUPER, test_a, 0)
+        jax.lax.fori_loop(0, TRI_SUPER - 1, sort16, 0)
         jax.lax.fori_loop(0, TRI_SUPER, fold_b, 0)
 
     if refs["scheduled"]:
@@ -421,8 +443,8 @@ def _fused_kernel(groups, n_mesh, has_transparent, flat_face,
                   stf_ref, sti_ref, fpar_ref, tab_ref, msc_ref, msi_ref,
                   cbb_ref, sbb_ref, ord_ref, ent_ref, pool_ref,
                   outf_ref, outu_ref,
-                  slots, sems, mjar, mrow, erow, abest, wfound, wattr,
-                  *scr):
+                  slots, sems, mjar, ejar, ord16, mrow, erow, abest,
+                  wfound, wattr, *scr):
     o = (stf_ref[0], stf_ref[1], stf_ref[2])
     d = (stf_ref[3], stf_ref[4], stf_ref[5])
     attenu = (stf_ref[6], stf_ref[7], stf_ref[8])
@@ -434,8 +456,9 @@ def _fused_kernel(groups, n_mesh, has_transparent, flat_face,
 
     refs = dict(msc=msc_ref, msi=msi_ref, cbb=cbb_ref, sbb=sbb_ref,
                 ord=ord_ref, ent=ent_ref, pool=pool_ref, slots=slots,
-                sems=sems, mjar=mjar, mrow=mrow, erow=erow, abest=abest,
-                wfound=wfound, wattr=wattr, scr=scr, scheduled=True)
+                sems=sems, mjar=mjar, ejar=ejar, ord16=ord16, mrow=mrow,
+                erow=erow, abest=abest, wfound=wfound, wattr=wattr,
+                scr=scr, scheduled=True)
     calls = []
 
     def trace_fn(o, d, n_prev, p_prev):
@@ -530,38 +553,52 @@ def _mesh_tables(scene):
 
 def _schedules(scene, o_rows, d_rows):
     """Per-(tile, instance) nearest-first super schedules for the outer
-    trace, computed XLA-side each bounce from the (sorted) wavefront:
-    transform the rays to each instance's local frame, bound every
-    128-ray tile bundle's entry distance into every super box
-    (ops/worklist.bundle_box_entry), sort ascending. Margins mirror
-    ops/sparse_trace (round-to-nearest slack on the conservative
-    bound). Returns (ord [nt,1,Stot] i32, ent [nt,1,Stot] f32)."""
-    m = o_rows.shape[1]
-    nt = m // TILE
+    trace, computed XLA-side each bounce from the (sorted) wavefront.
+
+    The tile bundles are computed ONCE in world space; each instance's
+    local-frame bundle is then derived by interval arithmetic over the
+    inverse affine map (center +- radius form) — transforming 4 interval
+    rows per tile instead of every ray (the per-ray version measured
+    ~8 ms/bounce at 480K rays, pure XLA overhead). Entry distances come
+    out in UNNORMALIZED local-direction units (point = oi + t*din), so
+    the unit-parameter entry of a ray is t * |din_ray|; multiplying the
+    bundle's t lower bound by the tile's MIN |d_local| over the
+    direction interval lower-bounds it for every contained ray
+    (conservative — 0 when a tile's direction interval spans a sign
+    change on every axis, which the octant sort makes rare). Margins
+    mirror ops/sparse_trace. Returns (ord [nt,1,Stot] i32,
+    ent [nt,1,Stot] f32)."""
+    olo, ohi, dlo, dhi = tile_bundles(o_rows, d_rows, TILE)  # [3, nt]
     ords, ents = [], []
+    nt = olo.shape[1]
     for prim_index, sbb_i in zip(scene.mesh_prim_index,
                                  scene.mesh_super_bb):
-        # scalar-coefficient broadcasts, NOT a [3,3]@[3,M] matmul (the
-        # K=3 MXU lowering measured ~50 ms per call at 480K rays)
         inv = scene.inv_transfo[prim_index]
-        o = o_rows
-        d = d_rows
-        oi = jnp.stack([
-            inv[0, 0] * o[0] + inv[0, 1] * o[1] + inv[0, 2] * o[2] + inv[0, 3],
-            inv[1, 0] * o[0] + inv[1, 1] * o[1] + inv[1, 2] * o[2] + inv[1, 3],
-            inv[2, 0] * o[0] + inv[2, 1] * o[1] + inv[2, 2] * o[2] + inv[2, 3]])
-        din = jnp.stack([
-            inv[0, 0] * d[0] + inv[0, 1] * d[1] + inv[0, 2] * d[2],
-            inv[1, 0] * d[0] + inv[1, 1] * d[1] + inv[1, 2] * d[2],
-            inv[2, 0] * d[0] + inv[2, 1] * d[1] + inv[2, 2] * d[2]])
-        nrm = jnp.maximum(jnp.sqrt(jnp.sum(din * din, axis=0,
-                                           keepdims=True)),
-                          np.float32(1e-30))
-        di = din / nrm
-        bundles = tile_bundles(oi, di, TILE)
-        ent = bundle_box_entry(bundles, sbb_i)          # [nt, S_i]
-        ent = jnp.where(ent >= INF, INF,
-                        ent * np.float32(1.0 - 1e-4) - np.float32(1e-4))
+        lin = inv[:3, :3]
+        absl = jnp.abs(lin)
+        oc = (olo + ohi) * 0.5
+        orad = (ohi - olo) * 0.5
+        oc_l = lin @ oc + inv[:3, 3:4]
+        orad_l = absl @ orad
+        dc = (dlo + dhi) * 0.5
+        drad = (dhi - dlo) * 0.5
+        dc_l = lin @ dc
+        drad_l = absl @ drad
+        bundles = (oc_l - orad_l, oc_l + orad_l,
+                   dc_l - drad_l, dc_l + drad_l)
+        # conservative min |d_local| over the tile's direction interval:
+        # per component, min |[lo, hi]| is 0 when the interval spans 0
+        dl = dc_l - drad_l
+        dh = dc_l + drad_l
+        cmin = jnp.where((dl <= 0.0) & (dh >= 0.0), 0.0,
+                         jnp.minimum(jnp.abs(dl), jnp.abs(dh)))
+        dmin = jnp.sqrt(jnp.sum(cmin * cmin, axis=0))            # [nt]
+        raw = bundle_box_entry(bundles, sbb_i)                   # [nt, S_i]
+        # scale BEFORE the INF test: INF * 0 would be NaN
+        ent = jnp.where(
+            raw >= INF, INF,
+            raw * dmin[:, None] * np.float32(1.0 - 1e-4)
+            - np.float32(1e-4))
         s = ent.shape[1]
         ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :],
                                (nt, s))
@@ -605,6 +642,8 @@ def _fused_call(stf, sti, fpar, tab, msc, msi, cbb, sbb, ordr, entr, pool,
             pltpu.VMEM((NSLOT, 18, LANES), jnp.float32),   # chunk slots
             pltpu.SemaphoreType.DMA((NSLOT,)),
             pltpu.SMEM((NSLOT,), jnp.int32),               # chunk masks
+            pltpu.SMEM((NSLOT,), jnp.float32),             # chunk entries
+            pltpu.SMEM((NSLOT,), jnp.int32),               # f2b chunk order
             pltpu.SMEM((NSLOT, SUB), jnp.int32),           # subrow masks
             pltpu.SMEM((NSLOT, SUB), jnp.float32),         # subrow entries
             pltpu.VMEM((SUB, LANES), jnp.float32),         # abest
@@ -661,7 +700,28 @@ def raytrace_fused(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
     sort_lo = jnp.min(scene.prim_bb_min, axis=0)
     sort_hi = jnp.max(scene.prim_bb_max, axis=0)
 
-    def bounce_body(_i, carry):
+    # sort every bounce EXCEPT the first: primaries arrive
+    # pixel-coherent from the renderer's tile layout, so bounce 0's
+    # octant regrouping is pure cost (~15 ms argsort + gathers at 480K
+    # rays); from bounce 1 on, the diffuse scatter destroys coherence
+    # and the re-sort pays for itself several times over in skipped
+    # mesh folds (measured both ways, round 5). Parking terminated
+    # lanes still happens every bounce (per-ray caps zero their chunk
+    # tests), so the skipped first sort never costs correctness.
+    sort_at = jnp.asarray(
+        [sort_rays and i >= 1 for i in range(nb_bounces)], bool)
+
+    def do_sort(carry):
+        stf, sti, lane = carry
+        done = sti[0] != 0
+        key = ray_sort_key((stf[0], stf[1], stf[2]),
+                           (stf[3], stf[4], stf[5]), done,
+                           sort_lo, sort_hi)
+        perm = jnp.argsort(key)
+        return (jnp.take(stf, perm, axis=1), jnp.take(sti, perm, axis=1),
+                jnp.take(lane, perm))
+
+    def bounce_body(i, carry):
         stf, sti, lane = carry
         done = sti[0] != 0
         # park terminated lanes outside every box pointing away so their
@@ -670,13 +730,8 @@ def raytrace_fused(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
         stf = jnp.concatenate(
             [jnp.where(done[None, :], park, stf[0:6]), stf[6:]], axis=0)
         if sort_rays:
-            key = ray_sort_key((stf[0], stf[1], stf[2]),
-                               (stf[3], stf[4], stf[5]), done,
-                               sort_lo, sort_hi)
-            perm = jnp.argsort(key)
-            stf = jnp.take(stf, perm, axis=1)
-            sti = jnp.take(sti, perm, axis=1)
-            lane = jnp.take(lane, perm)
+            stf, sti, lane = jax.lax.cond(
+                sort_at[i], do_sort, lambda c: c, (stf, sti, lane))
         ordr, entr = _schedules(scene, stf[0:3], stf[3:6])
         stf, sti = _fused_call(
             stf, sti, fpar, tab, msc, msi, cbb, sbb, ordr, entr,
