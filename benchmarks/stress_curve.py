@@ -1,14 +1,14 @@
 """Large-scene scaling curve: rays/s vs analytic primitive count.
 
-Answers VERDICT round-3 Missing #3: the reference's per-ray BVH walk
-supports ~2^27 prims (29-deep stacks, shaders/raytracer_func.frag:644,
-736) while this framework's fastest engine (the whole-pass megakernel)
-caps at 1024 prims; above that the worklist route (ops/sparse_trace.py)
-takes over. This sweep renders the procedural stress scene
-(scene/scenes.py scene_stress) at a range of prim counts spanning the
-megakernel->worklist handoff and records throughput per count, proving
-(or bounding) the sublinear cost growth of the occlusion-refined
-worklist traversal.
+The reference's per-ray BVH walk supports ~2^27 prims (29-deep stacks,
+shaders/raytracer_func.frag:644,736). This framework's whole-pass
+megakernel holds up to 4096 prims in its SMEM table; beyond that the
+fused bounce kernel (models/bounce_kernel.py) streams 128-prim Morton
+chunks from HBM behind per-tile front-to-back walks — scene size is
+bounded by HBM, not SMEM/VMEM. This sweep renders the procedural stress
+scene at prim counts spanning both handoffs (and the round-4 cliff
+boundary at 1024->1026, now erased) out to 102400 prims, recording
+throughput per count.
 
 Usage (on the TPU host):  python benchmarks/stress_curve.py
 Writes benchmarks/stress_curve.json.
@@ -23,8 +23,8 @@ import time
 import numpy as np
 
 
-def main(counts=(256, 1024, 4096, 10240, 40960), width=640, height=480,
-         bounces=3, passes=6):
+def main(counts=(256, 1024, 1026, 2048, 4096, 4100, 10240, 40960, 102400),
+         width=640, height=480, bounces=3, passes=6):
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     from montecarlo_pathtracing_tpu.utils.profiling import (
@@ -38,6 +38,7 @@ def main(counts=(256, 1024, 4096, 10240, 40960), width=640, height=480,
         RenderConfig, Renderer)
     from montecarlo_pathtracing_tpu.render.camera import default_rt_camera
     from montecarlo_pathtracing_tpu.models.megakernel import mega_eligible
+    from montecarlo_pathtracing_tpu.models.bounce_kernel import fused_eligible
 
     platform = jax.devices()[0].platform
     results = []
@@ -64,8 +65,14 @@ def main(counts=(256, 1024, 4096, 10240, 40960), width=640, height=480,
             float(jnp.sum(r._acc))
             best = min(best, time.perf_counter() - t0)
         rays = width * height * passes * bounces
-        route = ("megakernel" if (platform == "tpu" and mega_eligible(dev))
-                 else ("worklist" if platform == "tpu" else "dense-xla"))
+        if platform != "tpu":
+            route = "dense-xla"
+        elif mega_eligible(dev):
+            route = "megakernel"
+        elif fused_eligible(dev):
+            route = "fused-bounce"
+        else:
+            route = "worklist"
         row = {
             "n_prims": int(dev.nb_prims),
             "route": route,
@@ -81,12 +88,13 @@ def main(counts=(256, 1024, 4096, 10240, 40960), width=640, height=480,
         "config": {"width": width, "height": height, "bounces": bounces,
                    "passes": passes, "platform": platform,
                    "scene": "scene_stress (jittered sphere/cube field)"},
-        "note": ("rays/s vs prim count across the megakernel->worklist "
-                 "handoff (1024 prims). The worklist route's cost grows "
-                 "with the number of (ray tile, 8-prim block) pairs that "
-                 "survive frustum + occlusion culling, not with total "
+        "note": ("rays/s vs prim count across the megakernel->fused "
+                 "handoff (4096 prims, the SMEM prim-table cap). Beyond "
+                 "it the fused bounce kernel streams 128-prim Morton "
+                 "chunks from HBM behind per-tile front-to-back walks, "
+                 "so cost grows with surviving (tile, chunk) pairs, not "
                  "prim count — the curve quantifies how sublinear that "
-                 "is for a field scene."),
+                 "is for a field scene, out to 102400 prims."),
         "results": results,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

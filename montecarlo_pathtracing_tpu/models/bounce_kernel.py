@@ -78,14 +78,103 @@ SF = 15                 # f32 state rows: o3 d3 attenu3 total3 result3
 SU = 4                  # u32 state rows: done, rng s0 s1 s2
 
 
+def _small_group_ids(scene):
+    """Indices of the analytic groups that stay in the SMEM prim table
+    (everything compile_scene did NOT move into the chunked HBM pool)."""
+    large = {g[0] for g in scene.ana_groups}
+    return [gi for gi, c in enumerate(scene.group_codes) if c not in large]
+
+
 def fused_eligible(scene) -> bool:
-    """Static routing predicate: scenes WITH meshes whose analytic part
-    fits the SMEM prim table. Analytic-only scenes use the whole-path
-    megakernel (<=1024 prims) or the worklist route instead."""
-    if not scene.mesh_prim_index or scene.tri_chunks.shape[0] == 0:
+    """Static routing predicate: scenes with MESHES and/or LARGE
+    analytic groups (compile_scene's chunked HBM pools), whose small
+    analytic remainder fits the SMEM prim table. Small analytic-only
+    scenes use the whole-path megakernel instead."""
+    if not scene.mesh_prim_index and not scene.ana_groups:
         return False
-    total = sum(int(g.shape[0]) for g in scene.group_prim)
-    return total <= MEGA_MAX_PRIMS
+    small = sum(int(scene.group_prim[gi].shape[0])
+                for gi in _small_group_ids(scene))
+    return small <= MEGA_MAX_PRIMS
+
+
+def _small_meta(scene):
+    """((code, start, count, super_start), ...) over the SMEM-table
+    groups — the megakernel _mega_meta layout restricted to the small
+    groups (start indexes columns of _small_table's output; super_start
+    indexes _small_super_boxes, in MEGA_SUPER-prim windows)."""
+    from .megakernel import MEGA_SUPER
+
+    groups = []
+    start = 0
+    sstart = 0
+    for gi in _small_group_ids(scene):
+        count = int(scene.group_prim[gi].shape[0])
+        groups.append((int(scene.group_codes[gi]), start, count, sstart))
+        start += count
+        sstart += -(-count // MEGA_SUPER)
+    return tuple(groups), start
+
+
+def cull_small(scene) -> bool:
+    """Static: the SMEM-table fold uses the megakernel's two-level
+    per-prim culling (supers + per-prim boxes) when the table is big
+    enough to pay for it (MEGA_CULL_MIN_PRIMS)."""
+    from .megakernel import MEGA_CULL_MIN_PRIMS
+
+    small = sum(int(scene.group_prim[gi].shape[0])
+                for gi in _small_group_ids(scene))
+    return small >= MEGA_CULL_MIN_PRIMS
+
+
+def _small_super_boxes(scene):
+    """[6, S_small] world AABBs over MEGA_SUPER-prim windows of the
+    SMEM-table groups (megakernel._mega_super_boxes restricted to the
+    small groups) — the outer level of the culled SMEM fold."""
+    from .megakernel import MEGA_SUPER
+
+    cols = []
+    for gi in _small_group_ids(scene):
+        pid = scene.group_prim[gi]
+        ok = (pid >= 0)[:, None]
+        bmn = jnp.where(ok, jnp.take(scene.prim_bb_min, pid, axis=0),
+                        np.float32(3e38))
+        bmx = jnp.where(ok, jnp.take(scene.prim_bb_max, pid, axis=0),
+                        np.float32(-3e38))
+        n = bmn.shape[0]
+        pad = -(-n // MEGA_SUPER) * MEGA_SUPER
+        bmn = jnp.concatenate(
+            [bmn, jnp.full((pad - n, 3), 3e38, jnp.float32)])
+        bmx = jnp.concatenate(
+            [bmx, jnp.full((pad - n, 3), -3e38, jnp.float32)])
+        smn = bmn.reshape(-1, MEGA_SUPER, 3).min(axis=1)
+        smx = bmx.reshape(-1, MEGA_SUPER, 3).max(axis=1)
+        cols.append(jnp.concatenate([smn, smx], axis=1))
+    if not cols:
+        return jnp.zeros((6, 1), jnp.float32)
+    return jnp.concatenate(cols, axis=0).T
+
+
+def _small_table(scene):
+    """[38, P_small] SMEM prim table over the small groups only
+    (megakernel._mega_table row layout)."""
+    cols = []
+    for gi in _small_group_ids(scene):
+        pid = scene.group_prim[gi]
+        inv = scene.group_inv[gi][:, :3, :4].reshape(-1, 12)
+        trf = scene.group_transfo[gi][:, :3, :4].reshape(-1, 12)
+        m = jnp.take(scene.mat, pid, axis=0)
+        c = jnp.take(scene.color, pid, axis=0)
+        okr = (pid >= 0).astype(jnp.float32)[:, None]
+        bmn = jnp.take(scene.prim_bb_min, pid, axis=0)
+        bmx = jnp.take(scene.prim_bb_max, pid, axis=0)
+        bmn = jnp.where(okr > 0, bmn, np.float32(1.0))
+        bmx = jnp.where(okr > 0, bmx, np.float32(-1.0))
+        cols.append(jnp.concatenate(
+            [inv, trf, m[:, 0:1], m[:, 1:2], m[:, 2:3], c, okr, bmn, bmx],
+            axis=1))
+    if not cols:
+        return jnp.zeros((38, 1), jnp.float32)
+    return jnp.concatenate(cols, axis=0).T
 
 
 # --------------------------------------------------------------------------
@@ -153,8 +242,6 @@ def _mesh_instance(flat_face, mi, o, d, refs):
     slots = refs["slots"]
     sems = refs["sems"]
     mjar = refs["mjar"]
-    ejar = refs["ejar"]
-    ord16 = refs["ord16"]
     mrow = refs["mrow"]
     erow = refs["erow"]
     abest = refs["abest"]
@@ -262,8 +349,8 @@ def _mesh_instance(flat_face, mi, o, d, refs):
         take = valid_w & (a_w < abest[r:r + 1, :])
         abest[r:r + 1, :] = jnp.where(take, a_w, abest[r:r + 1, :])
         wfound[r:r + 1, :] = jnp.where(take, 1.0, wfound[r:r + 1, :])
-        wattr[:, r:r + 1, :] = jnp.where(
-            take[None], attrs[:, None, :], wattr[:, r:r + 1, :])
+        wattr[0:18, r:r + 1, :] = jnp.where(
+            take[None], attrs[:, None, :], wattr[0:18, r:r + 1, :])
 
     def fold_chunk(j, c):
         """Fold DMA slot j into the winner, one predicated subrow at a
@@ -297,38 +384,22 @@ def _mesh_instance(flat_face, mi, o, d, refs):
             hit, tmin = _slab_rows(lo, hi, oi, rdi, cap)
             m = jnp.any(hit)
             mjar[j] = m.astype(jnp.int32)
-            te = jnp.where(hit, tmin, INF)
-            ejar[j] = jnp.min(te)
-            ord16[j] = j
-            for r in range(SUB):
-                hr = hit[r:r + 1, :]
-                mrow[j, r] = jnp.any(hr).astype(jnp.int32)
-                erow[j, r] = jnp.min(te[r:r + 1, :])
 
+            # per-subrow masks + the DMA only for chunks that hit at
+            # all: the scalar reductions/SMEM writes are ~200 cycles a
+            # chunk, pure waste on the common all-miss case
             @pl.when(m)
             def _():
+                te = jnp.where(hit, tmin, INF)
+                for r in range(SUB):
+                    hr = hit[r:r + 1, :]
+                    mrow[j, r] = jnp.any(hr).astype(jnp.int32)
+                    erow[j, r] = jnp.min(te[r:r + 1, :])
                 pltpu.make_async_copy(pool.at[c], slots.at[j],
                                       sems.at[j]).start()
             return 0
 
-        def sort16(k, _):
-            """Selection step k of the front-to-back chunk order: fold
-            near chunks first so their hits tighten the per-subrow
-            prune before far chunks are re-gated — the within-super
-            half of the reference's front-to-back BVH walk (the
-            schedule already orders the supers)."""
-            def scan(l, bi):
-                return jnp.where(ejar[ord16[l]] < ejar[ord16[bi]], l, bi)
-
-            bi = jax.lax.fori_loop(k + 1, TRI_SUPER, scan, k)
-            jk = ord16[k]
-            ord16[k] = ord16[bi]
-            ord16[bi] = jk
-            return 0
-
-        def fold_b(k, _):
-            j = ord16[k]
-
+        def fold_b(j, _):
             @pl.when(mjar[j] != 0)
             def _():
                 pltpu.make_async_copy(pool.at[chunk0 + j], slots.at[j],
@@ -337,7 +408,6 @@ def _mesh_instance(flat_face, mi, o, d, refs):
             return 0
 
         jax.lax.fori_loop(0, TRI_SUPER, test_a, 0)
-        jax.lax.fori_loop(0, TRI_SUPER - 1, sort16, 0)
         jax.lax.fori_loop(0, TRI_SUPER, fold_b, 0)
 
     if refs["scheduled"]:
@@ -435,16 +505,267 @@ def _mesh_instance(flat_face, mi, o, d, refs):
     ca_s[...] = jnp.where(take2, msc[30, mi], ca_s[...])
 
 
+def _shape_point(code, plv, dircode):
+    """Local offset point for shading-normal reconstruction
+    (intersection_info, raytracer_func.frag:783-897): the normal is
+    normalize(transfo @ point - Pg). Mirrors megakernel prim_work."""
+    from ..ops.intersect import (
+        CODE_SPHERE, CODE_CUBE, CODE_CYLINDER, CODE_CONE)
+
+    if code == CODE_SPHERE:
+        return (2.0 * plv[0], 2.0 * plv[1], 2.0 * plv[2])
+    if code == CODE_CUBE:
+        ax = dircode // 2
+        sg = jnp.where(dircode % 2 != 0, 1.0, -1.0)
+        return (plv[0] + jnp.where(ax == 0, sg, 0.0),
+                plv[1] + jnp.where(ax == 1, sg, 0.0),
+                plv[2] + jnp.where(ax == 2, sg, 0.0))
+    if code == CODE_CYLINDER:
+        cap = dircode < 2
+        zsg = jnp.where(dircode % 2 != 0, 1.0, -1.0)
+        return (plv[0] + jnp.where(cap, 0.0, plv[0]),
+                plv[1] + jnp.where(cap, 0.0, plv[1]),
+                plv[2] + jnp.where(cap, zsg, 0.0))
+    if code == CODE_CONE:
+        rxy = jnp.sqrt(plv[0] * plv[0] + plv[1] * plv[1])
+        bot = dircode == 0
+        return (plv[0] + jnp.where(bot, 0.0, plv[0]),
+                plv[1] + jnp.where(bot, 0.0, plv[1]),
+                plv[2] + jnp.where(bot, -1.0, rxy / 2.0))
+    return (plv[0], plv[1], plv[2] + 1.0)       # oriented quad
+
+
+def _ana_candidates(fn, iv, tfr, ok, oc, dc):
+    """Per-(ray, prim) world-distance candidates for one analytic chunk.
+    iv/tfr/ok: (1, C) pool rows; oc/dc: (R, 1) world ray columns.
+    Returns (dist [R, C], with FLT_MAX on invalid/pad)."""
+    oi = (iv[0] * oc[0] + iv[1] * oc[1] + iv[2] * oc[2] + iv[3],
+          iv[4] * oc[0] + iv[5] * oc[1] + iv[6] * oc[2] + iv[7],
+          iv[8] * oc[0] + iv[9] * oc[1] + iv[10] * oc[2] + iv[11])
+    dnx = iv[0] * dc[0] + iv[1] * dc[1] + iv[2] * dc[2]
+    dny = iv[4] * dc[0] + iv[5] * dc[1] + iv[6] * dc[2]
+    dnz = iv[8] * dc[0] + iv[9] * dc[1] + iv[10] * dc[2]
+    rn = 1.0 / jnp.maximum(
+        jnp.sqrt(dnx * dnx + dny * dny + dnz * dnz), np.float32(1e-30))
+    di = (dnx * rn, dny * rn, dnz * rn)
+    a, valid, dircode = fn(oi[0], oi[1], oi[2], di[0], di[1], di[2])
+    plv = (oi[0] + a * di[0], oi[1] + a * di[1], oi[2] + a * di[2])
+    pg = (tfr[0] * plv[0] + tfr[1] * plv[1] + tfr[2] * plv[2] + tfr[3],
+          tfr[4] * plv[0] + tfr[5] * plv[1] + tfr[6] * plv[2] + tfr[7],
+          tfr[8] * plv[0] + tfr[9] * plv[1] + tfr[10] * plv[2] + tfr[11])
+    ex = oc[0] - pg[0]
+    ey = oc[1] - pg[1]
+    ez = oc[2] - pg[2]
+    dist = jnp.where(valid & (ok > 0.0),
+                     jnp.sqrt(ex * ex + ey * ey + ez * ez), FLT_MAX)
+    return dist
+
+
+def _ana_group(code, cstart, nchunks, sstart, ssched, o, d, rdi,
+               ocols, dcols, refs):
+    """Walk ONE large analytic group (128-prim HBM chunks) for the
+    current tile and merge its winner into the world-winner scratch.
+    All in WORLD space/distance (heterogeneous per-prim transforms, the
+    GLSL world-distance compare — intersect_prim,
+    raytracer_func.frag:681-705). cstart/nchunks/sstart: static pool
+    offsets; ssched: static offset of this group's segment in the
+    schedule rows. Same front-to-back machinery as the mesh walk."""
+    from ..ops.pallas_trace import _SOA_FNS
+
+    fn = _SOA_FNS[code]
+    acbb = refs["acbb"]
+    asbb = refs["asbb"]
+    apool = refs["apool"]
+    aslots = refs["aslots"]
+    sems = refs["sems"]
+    mjar = refs["mjar"]
+    mrow = refs["mrow"]
+    erow = refs["erow"]
+    abest = refs["abest"]
+    wfound = refs["wfound"]
+    wattr = refs["wattr"]
+    (bd_s, nx_s, ny_s, nz_s, px_s, py_s, pz_s,
+     sh_s, ro_s, em_s, cr_s, cg_s, cb_s, ca_s) = refs["scr"]
+
+    # world-distance walk: seed from the current winner, cap at the
+    # group root's exit (agr: [6, n_ana_groups] SMEM root boxes)
+    agr = refs["agr"]
+    gx = refs["agidx"]
+    rlo = (agr[0, gx], agr[1, gx], agr[2, gx])
+    rhi = (agr[3, gx], agr[4, gx], agr[5, gx])
+    rhit, _t = _slab_rows(rlo, rhi, o, rdi, jnp.full((SUB, LANES), INF))
+    t0 = tuple((rlo[k] - o[k]) * rdi[k] for k in range(3))
+    t1 = tuple((rhi[k] - o[k]) * rdi[k] for k in range(3))
+    texi = jnp.minimum(jnp.minimum(jnp.maximum(t0[0], t1[0]),
+                                   jnp.maximum(t0[1], t1[1])),
+                       jnp.maximum(t0[2], t1[2]))
+    bound = jnp.where(rhit, texi * np.float32(1.0001) + np.float32(1e-4),
+                      np.float32(0.0))
+    abest[...] = bd_s[...]
+    wfound[...] = jnp.zeros((SUB, LANES), jnp.float32)
+
+    def fold_row(blk, iv, tfr, ok, r):
+        oc = (ocols[0][r], ocols[1][r], ocols[2][r])
+        dc = (dcols[0][r], dcols[1][r], dcols[2][r])
+        dist = _ana_candidates(fn, iv, tfr, ok, oc, dc)
+        cmin = jnp.min(dist, axis=1, keepdims=True)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        firsti = jnp.min(jnp.where(dist == cmin, iota, LANES), axis=1,
+                         keepdims=True)
+        onehot = (iota == firsti).astype(jnp.float32)
+        attrs = jax.lax.dot_general(
+            blk, onehot, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)     # [32, 128]
+        o_r = (o[0][r:r + 1, :], o[1][r:r + 1, :], o[2][r:r + 1, :])
+        d_r = (d[0][r:r + 1, :], d[1][r:r + 1, :], d[2][r:r + 1, :])
+        ivw = [attrs[k:k + 1, :] for k in range(12)]
+        tfw = [attrs[12 + k:13 + k, :] for k in range(12)]
+        dist_w = _ana_candidates(fn, ivw, tfw, attrs[31:32, :], o_r, d_r)
+        take = dist_w < abest[r:r + 1, :]
+        abest[r:r + 1, :] = jnp.where(take, dist_w, abest[r:r + 1, :])
+        wfound[r:r + 1, :] = jnp.where(take, 1.0, wfound[r:r + 1, :])
+        wattr[:, r:r + 1, :] = jnp.where(
+            take[None], attrs[:, None, :], wattr[:, r:r + 1, :])
+
+    def fold_chunk(j):
+        blk = aslots[j]                             # [32, C]
+        iv = [blk[k:k + 1, :] for k in range(12)]
+        tfr = [blk[12 + k:13 + k, :] for k in range(12)]
+        ok = blk[31:32, :]
+        for r in range(SUB):
+            prune_r = jnp.max(jnp.minimum(abest[r:r + 1, :],
+                                          bound[r:r + 1, :]))
+
+            @pl.when((mrow[j, r] != 0) & (erow[j, r] < prune_r))
+            def _(r=r):
+                fold_row(blk, iv, tfr, ok, r)
+
+    def visit_super(chunk0):
+        def test_a(j, _):
+            c = chunk0 + j
+            lo = (acbb[0, c], acbb[1, c], acbb[2, c])
+            hi = (acbb[3, c], acbb[4, c], acbb[5, c])
+            cap = jnp.minimum(abest[...], bound)
+            hit, tmin = _slab_rows(lo, hi, o, rdi, cap)
+            m = jnp.any(hit)
+            mjar[j] = m.astype(jnp.int32)
+
+            @pl.when(m)
+            def _():
+                te = jnp.where(hit, tmin, INF)
+                for r in range(SUB):
+                    mrow[j, r] = jnp.any(
+                        hit[r:r + 1, :]).astype(jnp.int32)
+                    erow[j, r] = jnp.min(te[r:r + 1, :])
+                pltpu.make_async_copy(apool.at[c], aslots.at[j],
+                                      sems.at[j]).start()
+            return 0
+
+        def fold_b(j, _):
+            @pl.when(mjar[j] != 0)
+            def _():
+                pltpu.make_async_copy(apool.at[chunk0 + j], aslots.at[j],
+                                      sems.at[j]).wait()
+                fold_chunk(j)
+            return 0
+
+        jax.lax.fori_loop(0, TRI_SUPER, test_a, 0)
+        jax.lax.fori_loop(0, TRI_SUPER, fold_b, 0)
+
+    nsup = nchunks // TRI_SUPER
+    if refs["scheduled"]:
+        ordr = refs["ord"]
+        entr = refs["ent"]
+
+        def cond(k):
+            prune = jnp.max(jnp.minimum(abest[...], bound))
+            return (k < nsup) & (entr[0, 0, ssched + k] < prune)
+
+        def body(k):
+            s = ordr[0, 0, ssched + k]
+            visit_super(cstart + s * TRI_SUPER)
+            return k + 1
+
+        jax.lax.while_loop(cond, body, 0)
+    else:
+        def body2(s, _):
+            sc = sstart + s
+            lo = (asbb[0, sc], asbb[1, sc], asbb[2, sc])
+            hi = (asbb[3, sc], asbb[4, sc], asbb[5, sc])
+            cap = jnp.minimum(abest[...], bound)
+            shit, _tm = _slab_rows(lo, hi, o, rdi, cap)
+
+            @pl.when(jnp.any(shit))
+            def _():
+                visit_super(cstart + s * TRI_SUPER)
+            return 0
+
+        jax.lax.fori_loop(0, nsup, body2, 0)
+
+    # ---- merge: recompute the winner's hit from its extracted rows ----
+    att = wattr[...]                    # [32, SUB, LANES]
+    iv = [att[k] for k in range(12)]
+    tfr = [att[12 + k] for k in range(12)]
+    oi = (iv[0] * o[0] + iv[1] * o[1] + iv[2] * o[2] + iv[3],
+          iv[4] * o[0] + iv[5] * o[1] + iv[6] * o[2] + iv[7],
+          iv[8] * o[0] + iv[9] * o[1] + iv[10] * o[2] + iv[11])
+    dnx = iv[0] * d[0] + iv[1] * d[1] + iv[2] * d[2]
+    dny = iv[4] * d[0] + iv[5] * d[1] + iv[6] * d[2]
+    dnz = iv[8] * d[0] + iv[9] * d[1] + iv[10] * d[2]
+    rn = 1.0 / jnp.maximum(
+        jnp.sqrt(dnx * dnx + dny * dny + dnz * dnz), np.float32(1e-30))
+    di = (dnx * rn, dny * rn, dnz * rn)
+    a, _valid, dircode = fn(oi[0], oi[1], oi[2], di[0], di[1], di[2])
+    plv = (oi[0] + a * di[0], oi[1] + a * di[1], oi[2] + a * di[2])
+    pg = (tfr[0] * plv[0] + tfr[1] * plv[1] + tfr[2] * plv[2] + tfr[3],
+          tfr[4] * plv[0] + tfr[5] * plv[1] + tfr[6] * plv[2] + tfr[7],
+          tfr[8] * plv[0] + tfr[9] * plv[1] + tfr[10] * plv[2] + tfr[11])
+    point = _shape_point(code, plv, dircode)
+    tp = (tfr[0] * point[0] + tfr[1] * point[1] + tfr[2] * point[2]
+          + tfr[3] - pg[0],
+          tfr[4] * point[0] + tfr[5] * point[1] + tfr[6] * point[2]
+          + tfr[7] - pg[1],
+          tfr[8] * point[0] + tfr[9] * point[1] + tfr[10] * point[2]
+          + tfr[11] - pg[2])
+    nl = jnp.maximum(jnp.sqrt(tp[0] ** 2 + tp[1] ** 2 + tp[2] ** 2),
+                     np.float32(1e-30))
+    nv = (tp[0] / nl, tp[1] / nl, tp[2] / nl)
+    from ..ops.intersect import CODE_CONE
+    if code == CODE_CONE:
+        # cone top-"cap" quirk: N = 0 (raytracer_func.frag:850-853)
+        topc = dircode == 1
+        nv = tuple(jnp.where(topc, 0.0, c_) for c_ in nv)
+    wd = abest[...]
+    take2 = (wfound[...] > 0.0) & (wd < bd_s[...])
+    bd_s[...] = jnp.where(take2, wd, bd_s[...])
+    nx_s[...] = jnp.where(take2, nv[0], nx_s[...])
+    ny_s[...] = jnp.where(take2, nv[1], ny_s[...])
+    nz_s[...] = jnp.where(take2, nv[2], nz_s[...])
+    px_s[...] = jnp.where(take2, pg[0], px_s[...])
+    py_s[...] = jnp.where(take2, pg[1], py_s[...])
+    pz_s[...] = jnp.where(take2, pg[2], pz_s[...])
+    sh_s[...] = jnp.where(take2, att[24], sh_s[...])
+    ro_s[...] = jnp.where(take2, att[25], ro_s[...])
+    em_s[...] = jnp.where(take2, att[26], em_s[...])
+    cr_s[...] = jnp.where(take2, att[27], cr_s[...])
+    cg_s[...] = jnp.where(take2, att[28], cg_s[...])
+    cb_s[...] = jnp.where(take2, att[29], cb_s[...])
+    ca_s[...] = jnp.where(take2, att[30], ca_s[...])
+
+
 # --------------------------------------------------------------------------
 # the kernel
 # --------------------------------------------------------------------------
 
-def _fused_kernel(groups, n_mesh, has_transparent, flat_face,
+def _fused_kernel(groups, n_mesh, ana_groups, mesh_stot, has_transparent,
+                  flat_face, whole_path, cull_small, sched_base,
                   stf_ref, sti_ref, fpar_ref, tab_ref, msc_ref, msi_ref,
-                  cbb_ref, sbb_ref, ord_ref, ent_ref, pool_ref,
+                  cbb_ref, sbb_ref, acbb_ref, asbb_ref, agr_ref, gsbb_ref,
+                  ord_ref, ent_ref, pool_ref, apool_ref,
                   outf_ref, outu_ref,
-                  slots, sems, mjar, ejar, ord16, mrow, erow, abest,
-                  wfound, wattr, *scr):
+                  slots, aslots, sems, mjar, mrow, erow,
+                  abest, wfound, wattr, *scr):
     o = (stf_ref[0], stf_ref[1], stf_ref[2])
     d = (stf_ref[3], stf_ref[4], stf_ref[5])
     attenu = (stf_ref[6], stf_ref[7], stf_ref[8])
@@ -455,8 +776,10 @@ def _fused_kernel(groups, n_mesh, has_transparent, flat_face,
     ior = fpar_ref[0, 0]
 
     refs = dict(msc=msc_ref, msi=msi_ref, cbb=cbb_ref, sbb=sbb_ref,
-                ord=ord_ref, ent=ent_ref, pool=pool_ref, slots=slots,
-                sems=sems, mjar=mjar, ejar=ejar, ord16=ord16, mrow=mrow,
+                acbb=acbb_ref, asbb=asbb_ref, agr=agr_ref,
+                ord=ord_ref, ent=ent_ref, pool=pool_ref, apool=apool_ref,
+                slots=slots, aslots=aslots,
+                sems=sems, mjar=mjar, mrow=mrow,
                 erow=erow, abest=abest, wfound=wfound, wattr=wattr,
                 scr=scr, scheduled=True)
     calls = []
@@ -467,8 +790,12 @@ def _fused_kernel(groups, n_mesh, has_transparent, flat_face,
         (bd_s, nx_s, ny_s, nz_s, px_s, py_s, pz_s,
          sh_s, ro_s, em_s, cr_s, cg_s, cb_s, ca_s) = scr
         if groups:
-            _trace_fold(groups, tab_ref, sbb_ref, ord_ref, o, d,
-                        n_prev, p_prev, scr, cull=False)
+            # cull_small: the megakernel's two-level per-prim culled
+            # fold (nearest-first supers from this bounce's schedule
+            # segment) — on for SMEM tables big enough to pay for it
+            _trace_fold(groups, tab_ref, gsbb_ref, ord_ref, o, d,
+                        n_prev, p_prev, scr, cull=cull_small,
+                        ord_base=sched_base)
         else:
             z = jnp.zeros_like(o[0])
             bd_s[...] = z + FLT_MAX
@@ -490,8 +817,21 @@ def _fused_kernel(groups, n_mesh, has_transparent, flat_face,
             _mesh_instance(flat_face, mi, o, d, refs2)
             return 0
 
-        if "mesh" not in _ABLATE:
+        if "mesh" not in _ABLATE and n_mesh:
             jax.lax.fori_loop(0, n_mesh, inst, 0)
+        if ana_groups:
+            rdi = (_safe_rcp(d[0]), _safe_rcp(d[1]), _safe_rcp(d[2]))
+            ocols = [[o[k][r][:, None] for r in range(SUB)]
+                     for k in range(3)]
+            dcols = [[d[k][r][:, None] for r in range(SUB)]
+                     for k in range(3)]
+            ssched = mesh_stot
+            for gidx, (code, cstart, nchunks, sstart) in enumerate(
+                    ana_groups):
+                refs3 = dict(refs2, agidx=gidx)
+                _ana_group(code, cstart, nchunks, sstart, ssched,
+                           o, d, rdi, ocols, dcols, refs3)
+                ssched += nchunks // TRI_SUPER
         bd = bd_s[...]
         return (bd < FLT_MAX,
                 (nx_s[...], ny_s[...], nz_s[...]),
@@ -499,9 +839,39 @@ def _fused_kernel(groups, n_mesh, has_transparent, flat_face,
                 sh_s[...], ro_s[...], em_s[...],
                 (cr_s[...], cg_s[...], cb_s[...]), ca_s[...])
 
-    o, d, attenu, total, result, done_i, state = _bounce_step(
-        trace_fn, has_transparent, ior,
-        o, d, attenu, total, result, done_i, state)
+    if whole_path == 0:
+        # wavefront mode: ONE bounce per call; the host loop sorts the
+        # wavefront between calls (mesh scenes want the coherence)
+        o, d, attenu, total, result, done_i, state = _bounce_step(
+            trace_fn, has_transparent, ior,
+            o, d, attenu, total, result, done_i, state)
+    else:
+        # whole-path mode (opaque large-analytic scenes): the FULL
+        # bounce loop in-kernel, megakernel-style — state never leaves
+        # VMEM, no inter-bounce sorting or dispatch. Bounce 0 uses the
+        # scheduled walk (the primary-ray schedule exists); later
+        # bounces take the schedule-free slab-gated walk (`calls` makes
+        # only the very first trace scheduled). Terminated lanes are
+        # parked in-kernel so their box tests all fail.
+        z = jnp.zeros_like(d[0])
+
+        def bounce(carry):
+            o, d, attenu, total, result, done_i, state = carry
+            done = done_i != 0
+            o = tuple(jnp.where(done, p, c)
+                      for p, c in zip((z, z, z + np.float32(2.0e8)), o))
+            d = tuple(jnp.where(done, p, c)
+                      for p, c in zip((z, z, z + 1.0), d))
+            return _bounce_step(trace_fn, has_transparent, ior,
+                                o, d, attenu, total, result, done_i,
+                                state)
+
+        carry = (o, d, attenu, total, result, done_i, state)
+        carry = bounce(carry)                       # scheduled primaries
+        if whole_path > 1:
+            carry = jax.lax.fori_loop(1, whole_path,
+                                      lambda _, c: bounce(c), carry)
+        o, d, attenu, total, result, done_i, state = carry
 
     for k, v in enumerate((*o, *d, *attenu, *total, *result)):
         outf_ref[k] = v
@@ -523,6 +893,10 @@ def _mesh_tables(scene):
     AABB (mesh-local, union of real chunk boxes).
     msi [4, n_mesh] i32 (static): chunk_start, n_supers, super_start, 0.
     cbb/sbb: concatenated per-instance chunk/super AABBs [6, *]."""
+    if not scene.mesh_prim_index:
+        z6 = jnp.zeros((6, 1), jnp.float32)
+        return (jnp.zeros((37, 1), jnp.float32),
+                jnp.zeros((4, 1), jnp.int32), z6, z6)
     cols = []
     for prim_index, cbb_i in zip(scene.mesh_prim_index,
                                  scene.mesh_chunk_bb):
@@ -549,6 +923,21 @@ def _mesh_tables(scene):
     cbb = jnp.concatenate(scene.mesh_chunk_bb, axis=1)
     sbb = jnp.concatenate(scene.mesh_super_bb, axis=1)
     return msc, jnp.asarray(msi_np), cbb, sbb
+
+
+def _ana_tables(scene):
+    """[6, n_ana_groups] per-group world root AABBs (union of real
+    chunk boxes) for the large-group walk's per-ray exit cap."""
+    if not scene.ana_groups:
+        return jnp.zeros((6, 1), jnp.float32)
+    cols = []
+    for code, cstart, nchunks, sstart in scene.ana_groups:
+        cb = scene.ana_chunk_bb[:, cstart:cstart + nchunks]
+        real = cb[0] <= cb[3]
+        rlo = jnp.min(jnp.where(real[None, :], cb[0:3], INF), axis=1)
+        rhi = jnp.max(jnp.where(real[None, :], cb[3:6], -INF), axis=1)
+        cols.append(jnp.concatenate([rlo, rhi]))
+    return jnp.stack(cols, axis=1)
 
 
 def _schedules(scene, o_rows, d_rows):
@@ -605,13 +994,42 @@ def _schedules(scene, o_rows, d_rows):
         ent_s, order = jax.lax.sort((ent, ids), dimension=1, num_keys=1)
         ords.append(order)
         ents.append(ent_s)
+    def world_segment(sbb_g):
+        """Sorted nearest-first segment over world-space boxes."""
+        raw = bundle_box_entry((olo, ohi, dlo, dhi), sbb_g)
+        ent = jnp.where(raw >= INF, INF,
+                        raw * np.float32(1.0 - 1e-4) - np.float32(1e-4))
+        sg = ent.shape[1]
+        ids = jnp.broadcast_to(jnp.arange(sg, dtype=jnp.int32)[None, :],
+                               (nt, sg))
+        ent_s, order = jax.lax.sort((ent, ids), dimension=1, num_keys=1)
+        ords.append(order)
+        ents.append(ent_s)
+
+    for code, cstart, nchunks, sstart in scene.ana_groups:
+        # large analytic groups: world-space bundles directly (unit d)
+        world_segment(
+            scene.ana_super_bb[:, sstart:sstart + nchunks // 16])
+    if cull_small(scene):
+        # per-group MEGA_SUPER-window segments for the culled SMEM fold
+        from .megakernel import MEGA_SUPER
+        gsbb = _small_super_boxes(scene)
+        groups, _t = _small_meta(scene)
+        for code, start, count, sstart in groups:
+            nsup = -(-count // MEGA_SUPER)
+            world_segment(gsbb[:, sstart:sstart + nsup])
+    if not ords:
+        return (jnp.zeros((nt, 1, 1), jnp.int32),
+                jnp.full((nt, 1, 1), INF, jnp.float32))
     ordr = jnp.concatenate(ords, axis=1)[:, None, :]
     entr = jnp.concatenate(ents, axis=1)[:, None, :]
     return ordr, entr
 
 
-def _fused_call(stf, sti, fpar, tab, msc, msi, cbb, sbb, ordr, entr, pool,
-                groups, n_mesh, has_transparent, flat_face, interpret):
+def _fused_call(stf, sti, fpar, tab, msc, msi, cbb, sbb, acbb, asbb,
+                agr, gsbb, ordr, entr, pool, apool,
+                groups, n_mesh, ana_groups, mesh_stot, has_transparent,
+                flat_face, whole_path, cull_small, sched_base, interpret):
     m = stf.shape[1]
     nt = m // TILE
     stf = stf.reshape(SF, m // LANES, LANES)
@@ -625,43 +1043,46 @@ def _fused_call(stf, sti, fpar, tab, msc, msi, cbb, sbb, ordr, entr, pool,
     sched_spec = lambda arr: pl.BlockSpec(
         (1, 1, arr.shape[2]), lambda i: (i, 0, 0),
         memory_space=pltpu.SMEM)
-    kernel = functools.partial(_fused_kernel, groups, n_mesh,
-                               has_transparent, flat_face)
+    kernel = functools.partial(_fused_kernel, groups, n_mesh, ana_groups,
+                               mesh_stot, has_transparent, flat_face,
+                               whole_path, cull_small, sched_base)
     call = pl.pallas_call(
         kernel,
         grid=(nt,),
         in_specs=[stf_spec, sti_spec, smem((1, 1)), smem(tab.shape),
                   smem(msc.shape), smem(msi.shape), smem(cbb.shape),
-                  smem(sbb.shape), sched_spec(ordr), sched_spec(entr),
+                  smem(sbb.shape), smem(acbb.shape), smem(asbb.shape),
+                  smem(agr.shape), smem(gsbb.shape),
+                  sched_spec(ordr), sched_spec(entr),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[stf_spec, sti_spec],
         out_shape=[
             jax.ShapeDtypeStruct((SF, m // LANES, LANES), jnp.float32),
             jax.ShapeDtypeStruct((SU, m // LANES, LANES), jnp.uint32)],
         scratch_shapes=[
-            pltpu.VMEM((NSLOT, 18, LANES), jnp.float32),   # chunk slots
+            pltpu.VMEM((NSLOT, 18, LANES), jnp.float32),   # tri chunk slots
+            pltpu.VMEM((NSLOT, 32, LANES), jnp.float32),   # ana chunk slots
             pltpu.SemaphoreType.DMA((NSLOT,)),
             pltpu.SMEM((NSLOT,), jnp.int32),               # chunk masks
-            pltpu.SMEM((NSLOT,), jnp.float32),             # chunk entries
-            pltpu.SMEM((NSLOT,), jnp.int32),               # f2b chunk order
             pltpu.SMEM((NSLOT, SUB), jnp.int32),           # subrow masks
             pltpu.SMEM((NSLOT, SUB), jnp.float32),         # subrow entries
             pltpu.VMEM((SUB, LANES), jnp.float32),         # abest
             pltpu.VMEM((SUB, LANES), jnp.float32),         # wfound
-            pltpu.VMEM((18, SUB, LANES), jnp.float32),     # wattr
+            pltpu.VMEM((32, SUB, LANES), jnp.float32),     # wattr
         ] + [pltpu.VMEM((SUB, LANES), jnp.float32)] * 14,  # winner scr
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )
-    outf, outu = call(stf, sti, fpar, tab, msc, msi, cbb, sbb, ordr,
-                      entr, pool)
+    outf, outu = call(stf, sti, fpar, tab, msc, msi, cbb, sbb, acbb,
+                      asbb, agr, gsbb, ordr, entr, pool, apool)
     return outf.reshape(SF, m), outu.reshape(SU, m)
 
 
 def raytrace_fused(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
                    refract_ind, date=0.0, interpret: bool = False,
-                   sort_rays: bool = True):
+                   sort_rays: bool = True, whole_path: bool | None = None):
     """Per-bounce fused-kernel twin of models.montecarlo.raytrace for
     mesh scenes. O: [3] camera origin, D: [N,3] ray dirs (normalized
     inside), screen_tc: [N,2]. Returns rgb [N,3]. Bit-identical RNG
@@ -692,13 +1113,34 @@ def raytrace_fused(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
     sti = jnp.stack([jnp.zeros((m,), U32), s0, s1, s2])
     lane = jnp.arange(m, dtype=jnp.int32)
 
-    groups, _total = _mega_meta(scene)
-    tab = _mega_table(scene)
+    groups, _total = _small_meta(scene)
+    tab = _small_table(scene)
     msc, msi, cbb, sbb = _mesh_tables(scene)
+    agr = _ana_tables(scene)
+    csm = cull_small(scene)
+    gsbb = (_small_super_boxes(scene) if csm
+            else jnp.zeros((6, 1), jnp.float32))
+    mesh_stot = sum(int(c.shape[1]) // TRI_SUPER
+                    for c in scene.mesh_chunk_bb)
+    ana_stot = sum(nc // TRI_SUPER for _c, _s, nc, _ss in scene.ana_groups)
+    sched_base = mesh_stot + ana_stot
+    acbb = (scene.ana_chunk_bb if scene.ana_groups
+            else jnp.zeros((6, 1), jnp.float32))
+    asbb = (scene.ana_super_bb if scene.ana_groups
+            else jnp.zeros((6, 1), jnp.float32))
+    apool = (scene.ana_chunks if scene.ana_groups
+             else jnp.zeros((1, 32, 128), jnp.float32))
+    tpool = (scene.tri_chunks if scene.mesh_prim_index
+             else jnp.zeros((1, 18, 128), jnp.float32))
     fpar = jnp.asarray(refract_ind, jnp.float32).reshape(1, 1)
     n_mesh = len(scene.mesh_prim_index)
     sort_lo = jnp.min(scene.prim_bb_min, axis=0)
     sort_hi = jnp.max(scene.prim_bb_max, axis=0)
+    if whole_path is None:
+        # mesh scenes want the inter-bounce wavefront re-sort (their
+        # secondary-ray fold counts dominate); large-analytic scenes
+        # behave like the megakernel and keep the whole path in VMEM
+        whole_path = not scene.mesh_prim_index
 
     # sort every bounce EXCEPT the first: primaries arrive
     # pixel-coherent from the renderer's tile layout, so bounce 0's
@@ -734,13 +1176,23 @@ def raytrace_fused(scene, O, D, screen_tc, pass_index, *, nb_bounces: int,
                 sort_at[i], do_sort, lambda c: c, (stf, sti, lane))
         ordr, entr = _schedules(scene, stf[0:3], stf[3:6])
         stf, sti = _fused_call(
-            stf, sti, fpar, tab, msc, msi, cbb, sbb, ordr, entr,
-            scene.tri_chunks, groups, n_mesh, scene.has_transparent,
-            scene.flat_face, interpret)
+            stf, sti, fpar, tab, msc, msi, cbb, sbb, acbb, asbb, agr,
+            gsbb, ordr, entr, tpool, apool, groups, n_mesh,
+            scene.ana_groups, mesh_stot, scene.has_transparent,
+            scene.flat_face, 0, csm, sched_base, interpret)
         return stf, sti, lane
 
-    stf, sti, lane = jax.lax.fori_loop(0, nb_bounces, bounce_body,
-                                       (stf, sti, lane))
+    if whole_path:
+        # single kernel call, full bounce loop in VMEM (no sorts)
+        ordr, entr = _schedules(scene, stf[0:3], stf[3:6])
+        stf, sti = _fused_call(
+            stf, sti, fpar, tab, msc, msi, cbb, sbb, acbb, asbb, agr,
+            gsbb, ordr, entr, tpool, apool, groups, n_mesh,
+            scene.ana_groups, mesh_stot, scene.has_transparent,
+            scene.flat_face, int(nb_bounces), csm, sched_base, interpret)
+    else:
+        stf, sti, lane = jax.lax.fori_loop(0, nb_bounces, bounce_body,
+                                           (stf, sti, lane))
     # bounce-cap exhaustion returns black (:178)
     done = sti[0] != 0
     rgb_rows = jnp.where(done[None, :], stf[12:15], 0.0)

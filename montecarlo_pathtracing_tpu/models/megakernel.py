@@ -56,7 +56,9 @@ from ..ops import rng as _rng
 
 TILE_ROWS = 32             # rays per tile = TILE_ROWS * 128
 LANES = 128
-MEGA_MAX_PRIMS = 1024      # SMEM table cap: 38 * 1024 * 4B = 152 KB
+MEGA_MAX_PRIMS = 4096      # SMEM table cap: 38 * 4096 * 4B = 608 KB of
+                           # the chip's 1 MB SMEM (an 8192 table fails
+                           # to allocate — measured round 5)
 MEGA_CULL_MIN_PRIMS = 64   # per-prim AABB culling pays for itself above this
 MEGA_SUPER = 16            # prims per super-box (the outer culling level)
 
@@ -176,7 +178,8 @@ def _safe_rcp(x):
     return sgn / jnp.maximum(jnp.abs(x), tiny)
 
 
-def _trace_fold(groups, tab, sbb, ordr, o, d, n_prev, p_prev, scr, cull):
+def _trace_fold(groups, tab, sbb, ordr, o, d, n_prev, p_prev, scr, cull,
+                ord_base=0):
     """Fold every analytic prim into per-ray winner ATTRIBUTES.
 
     groups: static ((shape_code, start, count), ...); tab: SMEM [38, P]
@@ -364,7 +367,11 @@ def _trace_fold(groups, tab, sbb, ordr, o, d, n_prev, p_prev, scr, cull):
 
         def super_body(spi, _, start=start, count=count, sstart=sstart,
                       body=body):
-            sp = ordr[0, 0, sstart + spi]  # nearest-first visit order
+            # nearest-first visit order; ord_base offsets into a shared
+            # schedule row when the fold is embedded in the fused kernel
+            # (models/bounce_kernel.py), whose rows also carry mesh/ana
+            # segments before the SMEM-table segments
+            sp = ordr[0, 0, ord_base + sstart + spi]
             sc = sstart + sp
             t0x = (sbb[0, sc] - o[0]) * rdx
             t1x = (sbb[3, sc] - o[0]) * rdx

@@ -47,6 +47,12 @@ ANALYTIC_CODES = (CODE_SPHERE, CODE_CUBE, CODE_CYLINDER, CODE_CONE,
 
 TRI_SUPER = 16    # leaf chunks per super-chunk (16 x 128 = 2048 tris)
 GROUP_SUP = 8     # prims per analytic worklist block (sparse_trace.SUP)
+# Scenes whose analytic total exceeds ANA_SCENE_MIN (the megakernel's
+# SMEM prim-table cap) move every group above ANA_GROUP_MIN prims into
+# the chunked HBM pool consumed by the fused kernel's large-group walk
+# (models/bounce_kernel.py); the small remainder keeps the SMEM table.
+ANA_SCENE_MIN = 4096
+ANA_GROUP_MIN = 128
 
 
 def _round_up(n: int, m: int) -> int:
@@ -117,11 +123,28 @@ class DeviceScene:
     # each instance's nkc_pad chunk count (= mesh_chunk_bb[i].shape[1]).
     # Lives in HBM; the kernel DMAs one block per visited chunk.
     tri_chunks: jnp.ndarray     # [C_total, 18, 128]
+    # chunk-major ANALYTIC pool for the fused kernel's large-group walk:
+    # one [32, 128] block per 128-prim Morton chunk of every group with
+    # more than ANA_CHUNK_MIN prims (rows 0-11 inverse affine, 12-23
+    # forward affine, 24 shin, 25 rough, 26 emis, 27-30 rgba, 31 ok
+    # flag), concatenated across groups; chunk/super world AABBs at the
+    # same granularity. This is what removes the megakernel's SMEM-cap
+    # cliff: scenes beyond it stream prim chunks from HBM on
+    # demand, bounded by HBM size like the reference's ~2^27-prim BVH
+    # (shaders/raytracer_func.frag:644,736).
+    ana_chunks: jnp.ndarray     # [Ca_total, 32, 128]
+    ana_chunk_bb: jnp.ndarray   # [6, Ca_total] world AABBs (empty=pad)
+    ana_super_bb: jnp.ndarray   # [6, Ca_total/16]
     # per-prim world AABBs (prim_bb x1.005 padding, scene.cpp:18-42) —
     # the megakernel's per-prim frontier culling reads these
     prim_bb_min: jnp.ndarray    # [N,3]
     prim_bb_max: jnp.ndarray    # [N,3]
     # --- static metadata ---
+    # ((code, chunk_start, n_chunks, super_start), ...) aligned with the
+    # group_codes entries whose groups exceed ANA_CHUNK_MIN — the static
+    # walk plan for ana_chunks; () when no group is that large
+    ana_groups: Tuple[Tuple[int, int, int, int], ...] = dataclasses.field(
+        metadata=dict(static=True))
     group_codes: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     group_chunk: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     mesh_prim_index: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
@@ -166,6 +189,19 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
     # divergent per-ray stack walk).
     group_codes, g_trf, g_inv, g_prim, g_chunk, g_cbb = [], [], [], [], [], []
     g_sbb = []
+    ana_meta, ana_pool, ana_cbb_l, ana_sbb_l = [], [], [], []
+    ana_coff = ana_soff = 0
+    # mega-eligibility (models/megakernel.mega_eligible) sums PADDED
+    # group sizes against the SMEM cap; use the same padded total here
+    # so no scene falls between the SMEM table and the chunk pools
+    # (a 4096-prim scene pads past 4096 and must get pools)
+    _counts = {}
+    for p in scene.prims:
+        if p.type != CODE_MESH:
+            _counts[p.type] = _counts.get(p.type, 0) + 1
+    total_analytic = sum(
+        _round_up(c, min(analytic_chunk, _round_up(c, 8)))
+        for c in _counts.values())
     for code in ANALYTIC_CODES:
         idx = [i for i, p in enumerate(scene.prims) if p.type == code]
         if not idx:
@@ -216,6 +252,41 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
         g_chunk.append(chunk)
         g_cbb.append(jnp.asarray(cbb))
         g_sbb.append(jnp.asarray(sbbg))
+
+        if total_analytic > ANA_SCENE_MIN and len(idx) > ANA_GROUP_MIN:  # noqa: E501 (padded totals, see above)
+            # chunk-major pool blocks for the fused kernel's large-group
+            # walk: [nkc16, 32, 128] per-prim scalar rows (zeros = pad
+            # prims whose ok flag row stays 0), chunk/super world boxes
+            # padded to TRI_SUPER-multiples with empty boxes
+            nkc16 = _round_up(nkc, TRI_SUPER)
+            rows = np.zeros((nkc16 * kchunk, 32), F32)
+            ni = len(idx)
+            rows[:ni, 0:12] = inv[:ni, :3, :4].reshape(ni, 12)
+            rows[:ni, 12:24] = trf[:ni, :3, :4].reshape(ni, 12)
+            rows[:ni, 24:27] = mat[idx, 0:3]
+            rows[:ni, 27:31] = color[idx]
+            rows[:ni, 31] = 1.0
+            acbb = np.concatenate(
+                [cbb, np.tile([[1.0]] * 3 + [[-1.0]] * 3,
+                              (1, nkc16 - nkc)).astype(F32)], axis=1)
+            asbb = np.zeros((6, nkc16 // TRI_SUPER), F32)
+            for sc in range(nkc16 // TRI_SUPER):
+                real = [c for c in range(sc * TRI_SUPER,
+                                         min((sc + 1) * TRI_SUPER, nkc))]
+                if real:
+                    asbb[0:3, sc] = acbb[0:3, real].min(axis=1)
+                    asbb[3:6, sc] = acbb[3:6, real].max(axis=1)
+                else:
+                    asbb[0:3, sc] = 1.0
+                    asbb[3:6, sc] = -1.0
+            ana_meta.append(
+                (int(code), ana_coff, nkc16, ana_soff))
+            ana_pool.append(
+                rows.reshape(nkc16, kchunk, 32).transpose(0, 2, 1))
+            ana_cbb_l.append(acbb)
+            ana_sbb_l.append(asbb)
+            ana_coff += nkc16
+            ana_soff += nkc16 // TRI_SUPER
 
     # mesh instances: pre-gather triangle corners/normals in mesh-local
     # space, MORTON-ORDERED by centroid so contiguous 128-triangle kernel
@@ -334,6 +405,13 @@ def compile_scene(scene: ScenePrimitives, *, analytic_chunk: int = 64,
         mesh_super_bb=tuple(mesh_sbb),
         tri_chunks=(jnp.asarray(np.concatenate(tri_chunks_l, axis=0))
                     if tri_chunks_l else jnp.zeros((0, 18, 128), jnp.float32)),
+        ana_chunks=(jnp.asarray(np.concatenate(ana_pool, axis=0))
+                    if ana_pool else jnp.zeros((0, 32, 128), jnp.float32)),
+        ana_chunk_bb=(jnp.asarray(np.concatenate(ana_cbb_l, axis=1))
+                      if ana_cbb_l else jnp.zeros((6, 0), jnp.float32)),
+        ana_super_bb=(jnp.asarray(np.concatenate(ana_sbb_l, axis=1))
+                      if ana_sbb_l else jnp.zeros((6, 0), jnp.float32)),
+        ana_groups=tuple(ana_meta),
         prim_bb_min=jnp.asarray(bbmin.astype(F32)),
         prim_bb_max=jnp.asarray(bbmax.astype(F32)),
         group_codes=tuple(group_codes),

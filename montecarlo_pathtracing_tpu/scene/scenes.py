@@ -253,7 +253,7 @@ def scene_stress(light_intensity=1.2, n_prims: int = 10240,
     fixture (the reference's traversal bound is ~2^27 prims via 29-deep
     BVH stacks, shaders/raytracer_func.frag:644,736, but it ships no
     large scene) — used by benchmarks/stress_curve.py to demonstrate the
-    worklist path's scaling beyond the megakernel's 1024-prim SMEM cap."""
+    fused/worklist paths' scaling beyond the megakernel's SMEM cap."""
     rng = np.random.default_rng(seed)
     s = ScenePrimitives()
     s.add_oriented_quad(T(0, 0, -12) @ S(4000, 4000, 1), Material(GRIS))

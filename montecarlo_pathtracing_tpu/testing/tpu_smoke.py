@@ -220,6 +220,54 @@ def _smoke_megakernel_culled():
             f"(match {close.mean():.3f})")
 
 
+def _smoke_fused_bounce():
+    """Compile the fused per-bounce kernel (mesh walk + culled SMEM
+    fold + shading in one Pallas call, models/bounce_kernel.py) through
+    the real pipeline and sanity-check against the dense integrator."""
+    import numpy as np
+    from ..scene import scenes
+    from ..scene.device import compile_scene
+    from ..models.bounce_kernel import raytrace_fused, TILE
+    from ..models.montecarlo import raytrace
+
+    dev = compile_scene(scenes.build("mesh_demo"))
+    n = 4 * TILE
+    rs = np.random.RandomState(5)
+    D = rs.normal(size=(n, 3)).astype(np.float32)
+    D /= np.linalg.norm(D, axis=-1, keepdims=True)
+    D = jnp.asarray(D)
+    tc = jnp.asarray(rs.uniform(0, 1, (n, 2)).astype(np.float32))
+    O = jnp.array([0.0, -40.0, 100.0], jnp.float32)
+    got = np.asarray(raytrace_fused(dev, O, D, tc, 0, nb_bounces=2,
+                                    refract_ind=1.2))
+    ref = np.asarray(raytrace(dev, O, D, tc, 0, nb_bounces=2,
+                              refract_ind=jnp.float32(1.2),
+                              use_pallas=False, use_megakernel=False,
+                              use_fused=False))
+    close = np.all(np.abs(got - ref) <= 1e-3 + 1e-3 * np.abs(ref), -1)
+    if close.mean() <= 0.98:
+        raise AssertionError(
+            f"fused bounce kernel diverges from dense on real compile "
+            f"(match {close.mean():.3f})")
+
+
+def _smoke_fused_ana():
+    """Whole-path mode with the large-analytic chunk walk (the
+    megakernel-SMEM-cap overflow route)."""
+    from ..scene import scenes
+    from ..scene.device import compile_scene
+    from ..models.bounce_kernel import raytrace_fused, TILE
+
+    dev = compile_scene(scenes.scene_stress(n_prims=4200))
+    assert dev.ana_groups
+    n = TILE
+    D = jnp.zeros((n, 3), jnp.float32).at[:, 2].set(-1.0)
+    tc = jnp.zeros((n, 2), jnp.float32)
+    O = jnp.array([0.0, 0.0, 300.0], jnp.float32)
+    rgb = raytrace_fused(dev, O, D, tc, 0, nb_bounces=2, refract_ind=1.0)
+    jax.block_until_ready(rgb)
+
+
 SMOKES = (
     ("group_best_rows", _smoke_group_plain),
     ("group_best_rows[culled]", _smoke_group_culled),
@@ -230,6 +278,8 @@ SMOKES = (
     ("megakernel", _smoke_megakernel),
     ("megakernel[transparent]", _smoke_megakernel_transparent),
     ("megakernel[culled]", _smoke_megakernel_culled),
+    ("fused_bounce[mesh]", _smoke_fused_bounce),
+    ("fused_bounce[ana]", _smoke_fused_ana),
 )
 
 

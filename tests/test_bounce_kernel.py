@@ -107,3 +107,40 @@ def test_raytrace_use_fused_kwarg_interpret():
     b = np.asarray(raytrace_fused(dev, O, D, TC, 2, nb_bounces=3,
                                   refract_ind=1.0, interpret=True))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_large_analytic_scene_parity():
+    # >ANA_SCENE_MIN prims -> chunked HBM analytic pool + whole-path mode
+    dev = compile_scene(scenes.scene_stress(n_prims=4200))
+    assert dev.ana_groups and fused_eligible(dev)
+    # grazing sphere hits amplify extraction/recompute ulps through the
+    # Phong exponent (se up to 100) — allow a slightly larger flip
+    # fraction than the mesh scenes at this tiny resolution
+    _cmp(dev, bounces=3, frac=0.015)
+
+
+def test_whole_path_matches_wavefront():
+    dev = compile_scene(scenes.scene_stress(n_prims=4200))
+    O, D, TC = _rays()
+    a = np.asarray(raytrace_fused(dev, O, D, TC, 4, nb_bounces=3,
+                                  refract_ind=1.0, interpret=True,
+                                  whole_path=True))
+    b = np.asarray(raytrace_fused(dev, O, D, TC, 4, nb_bounces=3,
+                                  refract_ind=1.0, interpret=True,
+                                  whole_path=False))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_culled_smem_fold_parity():
+    # colonnes-class scene: big SMEM table -> the megakernel-style
+    # culled fold inside the fused kernel, fed by per-bounce schedules
+    from montecarlo_pathtracing_tpu.models.bounce_kernel import cull_small
+    dev = compile_scene(scenes.build("colonnes"))
+    assert cull_small(dev)
+    O, D, TC = _rays()
+    ref = np.asarray(raytrace(dev, O, D, TC, 3, nb_bounces=3,
+                              refract_ind=1.0, use_pallas=False))
+    got = np.asarray(raytrace_fused(dev, O, D, TC, 3, nb_bounces=3,
+                                    refract_ind=1.0, interpret=True))
+    diff = np.abs(ref - got).max(axis=1)
+    assert (diff > 1e-3).mean() <= 0.005, (diff > 1e-3).sum()
