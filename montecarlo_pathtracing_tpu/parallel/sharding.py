@@ -60,21 +60,49 @@ def shard_rays(mesh: Mesh, dirs, tc, axis_name: str = "rays"):
 
 def make_sharded_pass(mesh: Mesh, integrator_name: str = "montecarlo", *,
                       nb_bounces: int = 3, detach_sampling: bool = False,
-                      axis_name: str = "rays", date: float = 0.0):
+                      axis_name: str = "rays", date: float = 0.0,
+                      route: dict | None = None):
     """Pixel-sharded progressive pass: acc/dirs/tc sharded over the ray
-    axis, scene replicated; XLA partitions the megakernel with no
-    collectives. Returns a jitted fn(scene, acc, dirs, tc, origin,
-    pass_index, refract_ind) -> acc."""
+    axis, scene replicated. Returns a jitted fn(scene, acc, dirs, tc,
+    origin, pass_index, refract_ind) -> acc.
+
+    route: engine-routing kwargs forwarded to the integrator (e.g.
+    dict(use_pallas=True, pallas_interpret=True)) — the knobs the
+    renderer's fallback chain uses. The dense route partitions under
+    plain GSPMD (no collectives needed); any route that reaches a
+    pallas_call (worklist / megakernel / fused bounce kernel) is
+    dispatched through shard_map instead, because GSPMD cannot
+    partition a custom call — each device then runs the full engine on
+    its ray shard, which is the production TPU layout (per-pixel seeds
+    are pure functions of (uv, pass), so results are bit-identical to
+    single-device either way)."""
+    import inspect
+
     integrator = get_integrator(integrator_name)
+    route = dict(route or {})
+    params = inspect.signature(integrator).parameters
+    kw = {k: v for k, v in route.items() if k in params}
+    via_shard_map = bool(route.get("use_pallas")
+                         or route.get("use_megakernel")
+                         or route.get("use_fused"))
     ray_sh = NamedSharding(mesh, P(axis_name))
     rep = NamedSharding(mesh, P())
 
     def one_pass(scene, acc, dirs, tc, origin, pass_index, refract_ind):
         rgb = integrator(scene, origin, dirs, tc, pass_index,
                          nb_bounces=nb_bounces, refract_ind=refract_ind,
-                         date=date, detach_sampling=detach_sampling)
+                         date=date, detach_sampling=detach_sampling, **kw)
         return acc + rgb
 
+    if via_shard_map:
+        fn = jax.shard_map(
+            one_pass, mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name), P(axis_name),
+                      P(), P(), P()),
+            out_specs=P(axis_name),
+            check_vma=False,
+        )
+        return jax.jit(fn, donate_argnums=(1,))
     return jax.jit(
         one_pass,
         donate_argnums=(1,),
@@ -86,19 +114,24 @@ def make_sharded_pass(mesh: Mesh, integrator_name: str = "montecarlo", *,
 def make_sample_sharded_pass(mesh: Mesh, integrator_name: str = "montecarlo",
                              *, nb_bounces: int = 3,
                              detach_sampling: bool = False,
-                             axis_name: str = "spp", date: float = 0.0):
+                             axis_name: str = "spp", date: float = 0.0,
+                             route: dict | None = None):
     """Sample-axis DP via shard_map: chip k renders pass (base + k) of the
     SAME pixels; partial images psum over the mesh axis (ICI). One call
     advances the accumulator by mesh_size passes. Returns
     fn(scene, dirs, tc, origin, base_pass, refract_ind) -> summed rgb."""
+    import inspect
+
     integrator = get_integrator(integrator_name)
     nd = mesh.shape[axis_name]
+    kw = {k: v for k, v in dict(route or {}).items()
+          if k in inspect.signature(integrator).parameters}
 
     def per_chip(scene, dirs, tc, origin, base_pass, refract_ind):
         k = jax.lax.axis_index(axis_name)
         rgb = integrator(scene, origin, dirs, tc, base_pass + k,
                          nb_bounces=nb_bounces, refract_ind=refract_ind,
-                         date=date, detach_sampling=detach_sampling)
+                         date=date, detach_sampling=detach_sampling, **kw)
         return jax.lax.psum(rgb, axis_name)
 
     fn = jax.shard_map(
