@@ -81,21 +81,29 @@ def main():
             r.advance(n_passes)             # compile + run batched call
             float(jnp.sum(r._acc))          # tunnel-safe sync
             compile_s = time.perf_counter() - t0
-            # best of 3 windows, each ONE batched multi-pass call (the
-            # remote-TPU tunnel swings >2x with transient contention;
-            # per-dispatch overhead is ~0.7 ms — see bench.py)
-            dt = float("inf")
+            # 3 windows, each ONE batched multi-pass call; EVERY window
+            # is recorded and rays_per_s quotes the min..max RANGE —
+            # the remote-TPU tunnel swings >2x with transient
+            # contention, so a single best-window number is whichever
+            # epoch was luckiest (round-4 verdict Weak #5)
+            wins = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 r.advance(r.nb_passes + n_passes)
                 float(jnp.sum(r._acc))
-                dt = min(dt, time.perf_counter() - t0)
+                wins.append(time.perf_counter() - t0)
+            dt = min(wins)
             img = r.image()
-            rps = w * h * n_passes * bounces / dt
+            rays = w * h * n_passes * bounces
+            rps = rays / dt
             entry = {
                 "prims": dev.nb_prims,
                 "compile_s": round(compile_s, 2),
                 "rays_per_s": round(rps, 1),
+                "rays_per_s_range": [round(rays / max(wins), 1),
+                                     round(rps, 1)],
+                "window_times_s": [round(x, 4) for x in wins],
+                "window_spread": round(max(wins) / min(wins), 3),
                 "spp_per_s": round(n_passes / dt, 2),
                 "window_passes": n_passes,
                 "img_mean": round(float(img.mean()), 5),

@@ -78,6 +78,13 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     spp = args.spp
 
+    prev_poses = {}
+    try:
+        with open(args.out) as f:
+            prev_poses = json.load(f)
+    except (OSError, ValueError):
+        pass
+
     poses = {}
     for idx, name in enumerate(REF_CAPTURE_ORDER, start=1):
         ref_path = os.path.join(REF_DIR, f"{idx}-04-1.png")
@@ -133,6 +140,19 @@ def main():
 
         t0 = time.time()
         best = (-2.0, 0.0, 0.0, 1.0, (0.0, 0.0, 0.0), 0.0)
+        bfov = 1.0
+        # warm start: seed with the previously committed pose (if any)
+        # so a refit can only improve on it — the coarse grids are
+        # stochastic under 16-spp NCC noise and can land in a worse
+        # basin (observed on colonnes, round 5)
+        if name in prev_poses:
+            pp = prev_poses[name]
+            ctr0 = tuple(pp.get("center", (0.0, 0.0, 0.0)))
+            s = score(pp["yaw"], pp["pitch"], pp["zoom"], ctr0,
+                      pp.get("roll", 0.0), fov=pp.get("fov", 1.0))
+            best = (s, pp["yaw"], pp["pitch"], pp["zoom"], ctr0,
+                    pp.get("roll", 0.0))
+            bfov = pp.get("fov", 1.0)
         # stage A: coarse orbit grid
         for yaw in (-30, -20, -10, 0, 10, 20, 30):
             for pitch in (-25, -15, -5, 5, 15):
@@ -144,7 +164,6 @@ def main():
         # and Z-rotates at the window edge, which a pure orbit cannot
         # express; coarse grids at the stage-A winner
         _, by, bp, bz, _, _ = best
-        best = best[:5] + (0.0,)
         for cx in (-60, -30, 0, 30, 60):
             for cy in (-60, -30, 0, 30, 60):
                 for cz in (-60, -30, 0, 30, 60):
@@ -182,13 +201,44 @@ def main():
         # stage D: focal-length (fov) scan at the winner, then refine
         # pitch/zoom against it (fov trades off against both)
         _, by, bp, bz, ctr, br = best
-        bfov = 1.0
         for fov in (0.7, 0.8, 0.9, 1.0, 1.12, 1.25):
             for dp in (-4, 0, 4):
                 s = score(by, bp + dp, bz, ctr, br, fov=fov)
                 if s > best[0]:
                     best = (s, by, bp + dp, bz, ctr, br)
                     bfov = fov
+        # stage E: joint dolly refinement (round-4 verdict Weak #4) —
+        # a trackball dolly changes fov, zoom, pitch and pan TOGETHER,
+        # so the separable scans above can sit a few degrees off the
+        # capture's vantage; refine them jointly around the winner
+        for _ in range(2):
+            _, by, bp, bz, ctr, br = best
+            base_fov = bfov
+            for fv in (base_fov * 0.94, base_fov, base_fov * 1.06):
+                for zf in (0.94, 1.0, 1.06):
+                    for dp in (-3.0, 0.0, 3.0):
+                        for dyw in (-3.0, 0.0, 3.0):
+                            if (fv == base_fov and zf == 1.0
+                                    and dp == 0.0 and dyw == 0.0):
+                                continue
+                            s = score(by + dyw, bp + dp, bz * zf, ctr,
+                                      br, fov=fv)
+                            if s > best[0]:
+                                best = (s, by + dyw, bp + dp, bz * zf,
+                                        ctr, br)
+                                bfov = fv
+            _, by, bp, bz, (cx, cy, cz), br = best
+            for dx in (-10.0, 0.0, 10.0):
+                for dy in (-10.0, 0.0, 10.0):
+                    for dz in (-10.0, 0.0, 10.0):
+                        if dx == dy == dz == 0.0:
+                            continue
+                        s = score(by, bp, bz,
+                                  (cx + dx, cy + dy, cz + dz), br,
+                                  fov=bfov)
+                        if s > best[0]:
+                            best = (s, by, bp, bz,
+                                    (cx + dx, cy + dy, cz + dz), br)
         # noise-robust final pick: rescore the 8 best noisy candidates
         # (16 spp dilutes NCC enough to flip near-ties) at 6x the spp
         top = sorted(seen.items(), key=lambda kv: -kv[1])[:8]
