@@ -77,8 +77,16 @@ def main():
                        use_pallas=on_tpu)
     r = Renderer(dev, cfg)
     from montecarlo_pathtracing_tpu.models.megakernel import mega_eligible
-    route = ("megakernel" if (on_tpu and mega_eligible(dev))
-             else ("pallas-sparse" if on_tpu else "dense-xla"))
+    from montecarlo_pathtracing_tpu.models.bounce_kernel import (
+        fused_eligible)
+    if not on_tpu:
+        route = "dense-xla"
+    elif mega_eligible(dev):
+        route = "megakernel"
+    elif fused_eligible(dev):
+        route = "fused-bounce"
+    else:
+        route = "pallas-sparse"
 
     # NB: through the remote-TPU tunnel, block_until_ready alone does not
     # observe completion reliably — a value fetch does. Sync by fetching a

@@ -71,7 +71,11 @@ def main():
     }
     for name in scenes.SCENES:
         try:
-            n_passes = passes if name in slow else 4 * passes
+            # slow scenes use 2x windows: at ~10 Mrays/s a 16-pass
+            # window is ~2.3 s and the fixed per-window sync/glue costs
+            # ~1% — doubling the window length removes it (fast scenes
+            # already run 64-pass windows for the same reason)
+            n_passes = 2 * passes if name in slow else 4 * passes
             dev = compile_scene(scenes.build(name))
             r = Renderer(dev, RenderConfig(
                 width=w, height=h, nb_bounces=bounces,

@@ -30,15 +30,30 @@ with EVERYTHING in-kernel —
     schedule to models/montecarlo.py),
 
 so the only HBM traffic per bounce is the ~19-row wavefront state plus
-the visited triangle chunks. Between bounces the host re-sorts the
-wavefront by (direction octant, origin Morton) — ops/sort_rays — so
-each tile stays a tight spatial bundle and the in-kernel walk visits few
-chunks; terminated lanes are parked outside every box.
+the visited chunks. From bounce 1 on, the host re-sorts the wavefront
+by (direction octant, origin Morton) — ops/sort_rays — so each tile
+stays a tight spatial bundle (primaries arrive tile-coherent from the
+renderer's 32x32 pixel blocks; the 480K-ray argsort costs ~15 ms, so
+bounce 0 skips it); terminated lanes are parked outside every box.
 
-Because the chunk pool stays in HBM and is DMA'd on demand, scene scale
-is bounded by HBM, not VMEM or SMEM: the same kernel serves the 5k-tri
-mesh_demo and 100k+-tri pools (reference bound ~2^27 prims via 29-deep
-stacks, raytracer_func.frag:644,736).
+Beyond meshes, the same machinery serves LARGE ANALYTIC scenes: groups
+past the megakernel's 4096-prim SMEM cap become 128-prim Morton chunks
+([32, 128] blocks: affine rows + material + ok flag) walked with the
+identical schedule/DMA/subrow-fold/extraction pipeline in WORLD
+distance (_ana_group), which is what removed the round-4 SMEM-cap
+handoff cliff (benchmarks/stress_curve.json: monotone 256 -> 102,400
+prims). Opaque analytic scenes take the whole-path mode — the full
+bounce loop inside the kernel, megakernel-style, no sorts or
+inter-bounce state traffic. Mid-size SMEM tables additionally reuse
+the megakernel's two-level per-prim culled fold, fed nearest-first by
+this bounce's schedule segment instead of the megakernel's
+primary-ray-stale order.
+
+Because the chunk pools stay in HBM and are DMA'd on demand, scene
+scale is bounded by HBM, not VMEM or SMEM: the same kernel serves the
+5k-tri mesh_demo, 122k-tri mesh_hires and 102k-prim stress pools
+(reference bound ~2^27 prims via 29-deep stacks,
+raytracer_func.frag:644,736).
 
 Semantics are tp/montecarlo.frag:100-188 exactly (see megakernel.py /
 models/montecarlo.py for the quirk commentary). Winner parity matches
