@@ -1069,8 +1069,8 @@ def _fused_call(stf, sti, fpar, tab, msc, msi, cbb, sbb, acbb, asbb,
                   smem(sbb.shape), smem(acbb.shape), smem(asbb.shape),
                   smem(agr.shape), smem(gsbb.shape),
                   sched_spec(ordr), sched_spec(entr),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[stf_spec, sti_spec],
         out_shape=[
             jax.ShapeDtypeStruct((SF, m // LANES, LANES), jnp.float32),

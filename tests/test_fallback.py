@@ -33,7 +33,7 @@ def test_fallback_degrades_to_dense_and_matches():
     rp = Renderer(dev, cfg_p)
     rd = Renderer(dev, cfg_d)
     assert [name for name, _ in rp._levels] == [
-        "pallas-megakernel(auto)", "pallas-trace", "dense-xla"]
+        "pallas-fused(auto)", "pallas-trace", "dense-xla"]
     rp.render_pass()            # degrades off the megakernel, then renders
     rd.render_pass()
     assert rp._level > 0
