@@ -144,3 +144,14 @@ def test_culled_smem_fold_parity():
                                     refract_ind=1.0, interpret=True))
     diff = np.abs(ref - got).max(axis=1)
     assert (diff > 1e-3).mean() <= 0.005, (diff > 1e-3).sum()
+
+
+@pytest.mark.parametrize("n", [1023, 1026, 4000, 4094, 4100])
+def test_no_routing_hole_across_smem_boundaries(n):
+    # every stress size near the SMEM-table boundaries must land on a
+    # fast whole-program engine — the round-4 cliff was a scene size
+    # (1024-4096ish) that neither engine claimed (5.5x slower); the
+    # padded-total rule in scene/device.py keeps them aligned
+    from montecarlo_pathtracing_tpu.models.megakernel import mega_eligible
+    dev = compile_scene(scenes.scene_stress(n_prims=n))
+    assert mega_eligible(dev) or fused_eligible(dev), n
